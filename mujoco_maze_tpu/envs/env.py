@@ -1,0 +1,511 @@
+"""Lockstep maze environment: spec construction + pure reset/step functions.
+
+TPU-native inversion of the reference ``MazeEnv``
+(`/root/reference/mujoco_maze/maze_env.py`): construction is *trace time* —
+the grid maze lowers to static wall/goal/object arrays baked into a jitted
+step kernel — and the per-step object graph mutation becomes a pure function
+
+    step(state, action) -> (state', obs, reward, terminated, info)
+
+over an explicit :class:`EnvState` pytree.  ``jax.vmap`` over the batch axis
+and ``shard_map`` over a device mesh compose on top (see
+:mod:`mujoco_maze_tpu.envs.batched` / :mod:`mujoco_maze_tpu.parallel`).
+
+Step-order parity with maze_env.py:448-481: manual robot kinematics →
+engine substep → robot wall resolution → object-ball wall resolution →
+observation (t already incremented) → task reward/termination heads.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..maze.cells import MazeCell
+from ..maze.structure import MazeStructure, analyze_maze, with_ball_size
+from ..models.base import Robot
+from ..ops import segments
+from ..tasks.core import MazeTask, TaskHeads
+
+GRAVITY = 9.81
+EPISODE_LIMIT = 1000  # reference max_episode_steps (__init__.py:31)
+
+
+class EnvState(NamedTuple):
+    """Per-env dynamic state (the carried pytree of the lockstep kernel)."""
+
+    qpos: jnp.ndarray  # (nq,) robot dofs then world dofs
+    qvel: jnp.ndarray  # (nv,)
+    t: jnp.ndarray     # () int32 — env steps since reset
+    key: jax.Array     # PRNG state for this env's reset stream
+
+
+class StepResult(NamedTuple):
+    state: EnvState
+    obs: jnp.ndarray
+    reward: jnp.ndarray
+    terminated: jnp.ndarray
+    truncated: jnp.ndarray
+    info: Dict[str, jnp.ndarray]
+
+
+class _BlockRuntime(NamedTuple):
+    """Static per-movable-block constants used inside the step kernel."""
+
+    body_pos: jnp.ndarray   # (3,)
+    half: jnp.ndarray       # (3,)
+    axis_mask: jnp.ndarray  # (3,) 1.0 where x/y/z slide exists
+    spin: bool
+    falling: bool
+    xy_lo: jnp.ndarray      # (2,) slide-center lower clamp
+    xy_hi: jnp.ndarray      # (2,)
+    z_lo: float
+    qpos_idx: Tuple[int, ...]  # dof offsets into the full vector, axis order x,y,z,spin
+
+
+class _BallRuntime(NamedTuple):
+    body_pos: jnp.ndarray  # (2,)
+    size: float
+    qpos_idx: Tuple[int, ...]  # x, y, rot
+
+
+class MazeEnvSpec:
+    """Static description of one env ID; builds the pure reset/step fns."""
+
+    def __init__(
+        self,
+        robot: Robot,
+        maze_task: Type[MazeTask],
+        maze_size_scaling: float,
+        inner_reward_scaling: float = 1.0,
+        maze_height: float = 0.5,
+        restitution_coef: float = 0.8,
+        task_kwargs: Optional[Dict[str, Any]] = None,
+        dtype=jnp.float32,
+    ) -> None:
+        self.robot = robot
+        self.task: MazeTask = maze_task(maze_size_scaling, **(task_kwargs or {}))
+        self.heads: TaskHeads = self.task.lower()
+        self.inner_reward_scaling = float(inner_reward_scaling)
+        self.restitution_coef = float(restitution_coef)
+        self.dtype = dtype
+
+        structure = self.task.create_maze()
+        ms = analyze_maze(
+            structure,
+            maze_size_scaling,
+            maze_height,
+            put_spin_near_agent=self.task.PUT_SPIN_NEAR_AGENT,
+        )
+        ms = with_ball_size(ms, self.task.OBJECT_BALL_SIZE)
+        self.structure: MazeStructure = ms
+
+        if robot.MANUAL_COLLISION:
+            if robot.RADIUS is None:
+                raise ValueError("Manual collision needs radius of the model")
+            segs = ms.wall_segments(robot.RADIUS)
+            self.walls = self._to_dtype_walls(segments.pad_walls(segs, max(len(segs), 1)))
+        else:
+            self.walls = None
+        ball_segs = ms.wall_segments(self.task.OBJECT_BALL_SIZE)
+        self.objball_walls = self._to_dtype_walls(
+            segments.pad_walls(ball_segs, max(len(ball_segs), 1))
+        )
+
+        # ---- world dof layout: robot dofs, then blocks, then balls ------
+        self._build_world_layout()
+
+        # ---- init state -------------------------------------------------
+        init_qpos = np.zeros(self.nq, dtype=np.float64)
+        init_qpos[: robot.nq] = robot.init_qpos(ms.height_offset)
+        self.init_qpos = init_qpos
+        self.init_qvel = np.zeros(self.nv, dtype=np.float64)
+
+        # ---- observation metadata ---------------------------------------
+        n_objects = 0
+        if self.task.OBSERVE_BALLS:
+            n_objects += len(ms.object_balls)
+        if self.task.OBSERVE_BLOCKS:
+            n_objects += len(ms.movable_blocks)
+        self.obs_dim = robot.obs_dim + 3 * n_objects + 1
+        self.has_extended_obs = (
+            self.task.TOP_DOWN_VIEW or self.task.OBSERVE_BLOCKS or self.task.OBSERVE_BALLS
+        )
+
+    # ------------------------------------------------------------------
+    def _to_dtype_walls(self, w: segments.Walls) -> segments.Walls:
+        return segments.Walls(
+            p1=w.p1.astype(self.dtype), p2=w.p2.astype(self.dtype), mask=w.mask
+        )
+
+    def _build_world_layout(self) -> None:
+        ms = self.structure
+        robot = self.robot
+        grid = ms.grid
+        s = ms.size_scaling
+        next_idx = robot.nq  # world layout is 1 qpos per dof → nq == nv offsets
+
+        blocks: List[_BlockRuntime] = []
+        for b in ms.movable_blocks:
+            idxs = []
+            axis = [0.0, 0.0, 0.0]
+            for k, present in enumerate((b.move_x, b.move_y, b.move_z)):
+                if present:
+                    idxs.append(next_idx)
+                    next_idx += 1
+                    axis[k] = 1.0
+                else:
+                    idxs.append(-1)
+            if b.spin:
+                # Divergence: reference uses a ball joint (maze_env.py:649-660);
+                # we model spin as a single z hinge. No stock task uses SPIN.
+                idxs.append(next_idx)
+                next_idx += 1
+            else:
+                idxs.append(-1)
+            xy_lo, xy_hi = self._block_xy_limits(b)
+            blocks.append(
+                _BlockRuntime(
+                    body_pos=jnp.asarray(np.asarray(b.pos), self.dtype),
+                    half=jnp.asarray(np.asarray(b.size), self.dtype),
+                    axis_mask=jnp.asarray(axis, self.dtype),
+                    spin=b.spin,
+                    falling=b.falling,
+                    xy_lo=jnp.asarray(xy_lo, self.dtype),
+                    xy_hi=jnp.asarray(xy_hi, self.dtype),
+                    z_lo=float(b.z_range[0]),
+                    qpos_idx=tuple(idxs),
+                )
+            )
+        self.block_runtimes = tuple(blocks)
+
+        balls: List[_BallRuntime] = []
+        for ob in ms.object_balls:
+            idxs = (next_idx, next_idx + 1, next_idx + 2)  # x, y, rot (hinge type)
+            next_idx += 3
+            balls.append(
+                _BallRuntime(
+                    body_pos=jnp.asarray(np.asarray(ob.pos), self.dtype),
+                    size=float(ob.size),
+                    qpos_idx=idxs,
+                )
+            )
+        self.ball_runtimes = tuple(balls)
+
+        self.nq = next_idx
+        self.nv = next_idx
+        self.grid_arr = jnp.asarray(ms.grid)
+
+    def _block_xy_limits(self, b) -> Tuple[np.ndarray, np.ndarray]:
+        """Static travel limits of a movable block's center per axis.
+
+        Walks the grid row/col outward from the block cell until a BLOCK cell
+        bounds it (contact analog of block-vs-wall collision); falling blocks
+        additionally carry the reference's ±size_scaling slide range
+        (maze_env.py:615-633).
+        """
+        ms = self.structure
+        grid = ms.grid
+        s = ms.size_scaling
+        h_cells, w_cells = grid.shape
+        i, j = b.row, b.col
+        sx, sy = b.size[0], b.size[1]
+
+        def face_x(col: int) -> float:
+            return col * s - ms.torso_x
+
+        def face_y(row: int) -> float:
+            return row * s - ms.torso_y
+
+        # +x
+        jj = j
+        while jj + 1 < w_cells and not MazeCell(grid[i, jj + 1]).is_block():
+            jj += 1
+        x_hi = face_x(jj) + s * 0.5 - sx
+        jj = j
+        while jj - 1 >= 0 and not MazeCell(grid[i, jj - 1]).is_block():
+            jj -= 1
+        x_lo = face_x(jj) - s * 0.5 + sx
+        ii = i
+        while ii + 1 < h_cells and not MazeCell(grid[ii + 1, j]).is_block():
+            ii += 1
+        y_hi = face_y(ii) + s * 0.5 - sy
+        ii = i
+        while ii - 1 >= 0 and not MazeCell(grid[ii - 1, j]).is_block():
+            ii -= 1
+        y_lo = face_y(ii) - s * 0.5 + sy
+        if b.falling:
+            x_lo = max(x_lo, b.pos[0] - b.xy_range)
+            x_hi = min(x_hi, b.pos[0] + b.xy_range)
+            y_lo = max(y_lo, b.pos[1] - b.xy_range)
+            y_hi = min(y_hi, b.pos[1] + b.xy_range)
+        return (
+            np.array([x_lo, y_lo], dtype=np.float64),
+            np.array([x_hi, y_hi], dtype=np.float64),
+        )
+
+    # ------------------------------------------------------------------
+    # world-object helpers (traced; all loops unroll over static specs)
+    # ------------------------------------------------------------------
+    def _block_center(self, qpos: jnp.ndarray, b: _BlockRuntime) -> jnp.ndarray:
+        """(3,) current block body origin."""
+        disp = []
+        for k in range(3):
+            idx = b.qpos_idx[k]
+            disp.append(qpos[idx] if idx >= 0 else jnp.zeros((), self.dtype))
+        return b.body_pos + jnp.stack(disp)
+
+    def _ball_center(self, qpos: jnp.ndarray, ob: _BallRuntime) -> jnp.ndarray:
+        """(2,) current ball body origin."""
+        return ob.body_pos + jnp.stack([qpos[ob.qpos_idx[0]], qpos[ob.qpos_idx[1]]])
+
+    def _cell_at(self, xy: jnp.ndarray) -> jnp.ndarray:
+        """Grid cell value under a world xy position (clamped to bounds)."""
+        ms = self.structure
+        s = ms.size_scaling
+        col = jnp.round((xy[0] + ms.torso_x) / s).astype(jnp.int32)
+        row = jnp.round((xy[1] + ms.torso_y) / s).astype(jnp.int32)
+        h_cells, w_cells = ms.grid.shape
+        row = jnp.clip(row, 0, h_cells - 1)
+        col = jnp.clip(col, 0, w_cells - 1)
+        return self.grid_arr[row, col]
+
+    def _push_blocks(
+        self, qpos: jnp.ndarray, qvel: jnp.ndarray, robot_xy: jnp.ndarray, dt: float
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Quasi-static push of near-massless blocks by the robot disc.
+
+        Replaces the reference's MuJoCo soft contacts between robot geoms and
+        movable-block boxes (mass 2e-4, maze_env.py:602) with a positional
+        projection: overlap of the robot's contact disc with the block AABB
+        is resolved by translating the block along its movable axes, clamped
+        to its static travel limits.
+        """
+        r = self.robot.RADIUS if self.robot.RADIUS is not None else 0.5
+        for b in self.block_runtimes:
+            center = self._block_center(qpos, b)
+            # closest point on AABB (xy) to robot center
+            lo = center[:2] - b.half[:2]
+            hi = center[:2] + b.half[:2]
+            closest = jnp.clip(robot_xy, lo, hi)
+            d = robot_xy - closest
+            dist = jnp.sqrt(jnp.sum(d * d) + 1e-12)
+            overlap = r - dist
+            # Push direction: away from robot. If robot center inside AABB,
+            # push along the axis of minimal exit.
+            n = jnp.where(dist > 1e-6, -d / dist, jnp.zeros(2, self.dtype))
+            inside = dist <= 1e-6
+            # axis of min penetration when inside
+            pen = jnp.stack([hi[0] - robot_xy[0], robot_xy[0] - lo[0],
+                             hi[1] - robot_xy[1], robot_xy[1] - lo[1]])
+            k = jnp.argmin(pen)
+            n_inside = jnp.stack(
+                [
+                    jnp.where(k == 0, 1.0, jnp.where(k == 1, -1.0, 0.0)),
+                    jnp.where(k == 2, 1.0, jnp.where(k == 3, -1.0, 0.0)),
+                ]
+            ).astype(self.dtype)
+            n = jnp.where(inside, n_inside, n)
+            push = jnp.where(overlap > 0, overlap, 0.0) * n
+            push = push * b.axis_mask[:2]
+            # z-fall: unsupported falling blocks drop (chasm beneath)
+            if b.falling:
+                zidx = b.qpos_idx[2]
+                under = self._cell_at(center[:2])
+                unsupported = under == int(MazeCell.CHASM)
+                vz = qvel[zidx] - jnp.where(unsupported, GRAVITY * dt, 0.0)
+                z = jnp.clip(qpos[zidx] + vz * dt, b.z_lo, 0.0)
+                vz = jnp.where(z <= b.z_lo, 0.0, vz)
+                vz = jnp.where(unsupported, vz, 0.0)
+                qpos = qpos.at[zidx].set(z)
+                qvel = qvel.at[zidx].set(vz)
+            for k2 in range(2):
+                idx = b.qpos_idx[k2]
+                if idx >= 0:
+                    newc = jnp.clip(
+                        center[k2] + push[k2], b.xy_lo[k2], b.xy_hi[k2]
+                    )
+                    qpos = qpos.at[idx].set(newc - b.body_pos[k2])
+        return qpos, qvel
+
+    def _step_balls(
+        self,
+        qpos: jnp.ndarray,
+        qvel: jnp.ndarray,
+        robot_xy: jnp.ndarray,
+        robot_disp: jnp.ndarray,
+        dt: float,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Object-ball dynamics: strike by robot, roll with decay, wall bounce.
+
+        Replaces MuJoCo sphere-sphere contact between the robot body sphere
+        (radius 0.5, point.xml:22) and the object ball with an impulse model,
+        and the engine's ball-wall contacts with the manual segment resolution
+        the reference applies at maze_env.py:466-473 (but written to the
+        ball's qpos — the reference's write to ``xipos`` was a no-op on
+        dynamics).
+        """
+        ROBOT_GEOM_R = 0.5
+        DECAY = 0.04  # rolling resistance per step, calibrated vs goldens
+        for ob in self.ball_runtimes:
+            xi, yi, _ = ob.qpos_idx
+            center = self._ball_center(qpos, ob)
+            vel = jnp.stack([qvel[xi], qvel[yi]])
+            # strike: robot disc overlapping ball
+            d = center - robot_xy
+            dist = jnp.sqrt(jnp.sum(d * d) + 1e-12)
+            overlap = (ROBOT_GEOM_R + ob.size) - dist
+            n = d / dist
+            hit = overlap > 0.0
+            # positional de-penetration + velocity along normal from robot motion
+            center = jnp.where(hit, center + n * overlap, center)
+            v_robot = robot_disp / dt
+            v_n = jnp.maximum(jnp.sum(v_robot * n), 0.0)
+            vel = jnp.where(hit, vel + n * v_n, vel)
+            # integrate
+            old_center = center
+            center = center + vel * dt
+            vel = vel * (1.0 - DECAY)
+            # wall bounce with restitution (manual segment resolution)
+            resolved = segments.resolve(
+                self.objball_walls, old_center, center, self.restitution_coef
+            )
+            bounced = jnp.any(jnp.abs(resolved - center) > 1e-7)
+            # reflect velocity about the wall when bounced: approximate by
+            # steering velocity along the resolved motion direction.
+            move = resolved - old_center
+            mnorm = jnp.sqrt(jnp.sum(move * move) + 1e-12)
+            speed = jnp.sqrt(jnp.sum(vel * vel))
+            vel = jnp.where(
+                bounced & (mnorm > 1e-6),
+                move / mnorm * speed * self.restitution_coef,
+                vel,
+            )
+            qpos = qpos.at[xi].set(resolved[0] - ob.body_pos[0])
+            qpos = qpos.at[yi].set(resolved[1] - ob.body_pos[1])
+            qvel = qvel.at[xi].set(vel[0])
+            qvel = qvel.at[yi].set(vel[1])
+        return qpos, qvel
+
+    # ------------------------------------------------------------------
+    # observation assembly (maze_env.py:351-369)
+    # ------------------------------------------------------------------
+    def _observe(self, state: EnvState) -> jnp.ndarray:
+        robot_obs = self.robot.observe(state.qpos, state.qvel).astype(self.dtype)
+        extras = []
+        if self.task.OBSERVE_BALLS:
+            for ob in self.ball_runtimes:
+                c = self._ball_center(state.qpos, ob)
+                extras.append(jnp.concatenate([c, jnp.zeros((1,), self.dtype)]))
+        if self.task.OBSERVE_BLOCKS:
+            for b in self.block_runtimes:
+                extras.append(self._block_center(state.qpos, b))
+        tail = [robot_obs[3:], (state.t.astype(self.dtype) * 0.001)[None]]
+        return jnp.concatenate([robot_obs[:3], *extras, *tail])
+
+    # ------------------------------------------------------------------
+    # pure reset / step
+    # ------------------------------------------------------------------
+    def reset(self, key: jax.Array) -> Tuple[EnvState, jnp.ndarray]:
+        knoise, kstart, knext = jax.random.split(key, 3)
+        qpos0 = jnp.asarray(self.init_qpos, self.dtype)
+        qvel0 = jnp.asarray(self.init_qvel, self.dtype)
+        qpos_noise, qvel_noise = self.robot.reset_noise(knoise, self.nq, self.nv)
+        qpos = qpos0 + qpos_noise.astype(self.dtype)
+        qvel = qvel0 + qvel_noise.astype(self.dtype)
+        if self.robot.ZERO_WORLD_DOFS_ON_RESET:
+            rq, rv = self.robot.nq, self.robot.nv
+            mask_q = jnp.arange(self.nq) < rq
+            mask_v = jnp.arange(self.nv) < rv
+            qpos = jnp.where(mask_q, qpos, qpos0)
+            qvel = jnp.where(mask_v, qvel, 0.0)
+        # multiple ROBOT cells → uniform random start (maze_env.py:378-380,
+        # with the reference's np.random.choice-on-tuples bug fixed)
+        inits = self.structure.init_positions
+        if len(inits) > 1:
+            arr = jnp.asarray(np.asarray(inits, dtype=np.float64), self.dtype)
+            xy = arr[jax.random.randint(kstart, (), 0, len(inits))]
+            qpos = qpos.at[:2].set(xy)
+        state = EnvState(
+            qpos=qpos, qvel=qvel, t=jnp.zeros((), jnp.int32), key=knext
+        )
+        return state, self._observe(state)
+
+    def step(self, state: EnvState, action: jnp.ndarray) -> StepResult:
+        if self.robot.MANUAL_COLLISION:
+            new_state, inner_reward = self._step_manual(state, action)
+        else:
+            new_state, inner_reward = self._step_dynamic(state, action)
+        obs = self._observe(new_state)
+        reward = (
+            self.inner_reward_scaling * inner_reward + self.heads.reward(obs)
+        ).astype(self.dtype)
+        terminated = self.heads.termination(obs)
+        truncated = new_state.t >= EPISODE_LIMIT
+        info = {"position": new_state.qpos[:2]}
+        return StepResult(new_state, obs, reward, terminated, truncated, info)
+
+    def _step_manual(
+        self, state: EnvState, action: jnp.ndarray
+    ) -> Tuple[EnvState, jnp.ndarray]:
+        """Point path (maze_env.py:450-473)."""
+        robot = self.robot
+        dt = robot.dt
+        qpos, qvel = state.qpos, state.qvel
+        old_xy = qpos[:2]
+        # robot kinematics + full-state velocity clip (point.py:44-57)
+        qpos, qvel = robot.kinematic_step(qpos, qvel, action.astype(self.dtype))
+        kin_xy = qpos[:2]
+        # engine residual: drift + friction
+        qpos, qvel = robot.residual_step(qpos, qvel)
+        # world objects: blocks pushed at the robot's post-move position
+        if self.block_runtimes:
+            qpos, qvel = self._push_blocks(qpos, qvel, qpos[:2], dt)
+        if self.ball_runtimes:
+            qpos, qvel = self._step_balls(
+                qpos, qvel, qpos[:2], qpos[:2] - old_xy, dt
+            )
+        # robot wall resolution (maze_env.py:457-464)
+        new_xy = qpos[:2]
+        resolved = segments.resolve(self.walls, old_xy, new_xy, self.restitution_coef)
+        qpos = qpos.at[:2].set(resolved)
+        new_state = EnvState(
+            qpos=qpos, qvel=qvel, t=state.t + 1, key=state.key
+        )
+        return new_state, jnp.zeros((), self.dtype)  # point inner reward = 0
+
+    def _step_dynamic(
+        self, state: EnvState, action: jnp.ndarray
+    ) -> Tuple[EnvState, jnp.ndarray]:
+        """Ant/Swimmer/Reacher path — full engine dynamics (installed by the
+        robot's ``dynamics_step``)."""
+        robot = self.robot
+        xy_before = state.qpos[:2]
+        qpos, qvel = robot.dynamics_step(self, state.qpos, state.qvel, action)
+        xy_after = qpos[:2]
+        inner = robot.inner_reward(xy_before, xy_after, action.astype(self.dtype))
+        new_state = EnvState(qpos=qpos, qvel=qvel, t=state.t + 1, key=state.key)
+        return new_state, inner
+
+    # ------------------------------------------------------------------
+    # spaces / metadata (host side)
+    # ------------------------------------------------------------------
+    def observation_bounds(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Parity with MazeEnv._get_obs_space (maze_env.py:235-246), including
+        its leading-slots assembly."""
+        high = np.full(self.obs_dim, np.inf, dtype=np.float64)
+        low = -high
+        r_low, r_high = self.robot.obs_bounds()
+        n = len(r_high)
+        high[:n] = r_high
+        low[:n] = r_low
+        xmin, xmax, ymin, ymax = self.structure.xy_limits()
+        low[0], high[0], low[1], high[1] = xmin, xmax, ymin, ymax
+        return low, high
+
+    def action_bounds(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.robot.action_bounds()
