@@ -90,6 +90,40 @@ class BatchedMazeEnv:
         (final_state, final_obs), traj = jax.lax.scan(body, (state, obs0), keys)
         return final_state, traj
 
+    def rollout_metrics(
+        self,
+        state: EnvState,
+        policy: Callable[[jnp.ndarray, jax.Array], jnp.ndarray],
+        num_steps: int,
+        key: jax.Array,
+    ):
+        """Scan without trajectory stacking: returns final state + summed
+        reward / episode counts.  The benchmark path — nothing leaves the
+        device until the final scalars."""
+        obs0 = jax.vmap(self.spec._observe)(state)
+
+        def body(carry, key_t):
+            st, obs, rew_sum, ep_count = carry
+            actions = policy(obs, key_t)
+            res = self._step_batch(st, actions)
+            done = res.terminated | res.truncated
+            return (
+                res.state,
+                res.obs,
+                rew_sum + jnp.sum(res.reward),
+                ep_count + jnp.sum(done),
+            ), None
+
+        keys = jax.random.split(key, num_steps)
+        init = (
+            state,
+            obs0,
+            jnp.zeros((), self.spec.dtype),
+            jnp.zeros((), jnp.int32),
+        )
+        (final_state, _, rew_sum, ep_count), _ = jax.lax.scan(body, init, keys)
+        return final_state, rew_sum, ep_count
+
     def random_policy(self) -> Callable[[jnp.ndarray, jax.Array], jnp.ndarray]:
         low, high = self.spec.action_bounds()
         low = jnp.asarray(low, self.spec.dtype)

@@ -473,6 +473,16 @@ class MazeEnvSpec:
         new_xy = qpos[:2]
         resolved = segments.resolve(self.walls, old_xy, new_xy, self.restitution_coef)
         qpos = qpos.at[:2].set(resolved)
+        # wall-contact ejection: the robot geom radius exceeds the manual
+        # detector's inflation, so pressing into a wall overlaps the geoms
+        # and the engine responds with a large outward contact velocity
+        # (observed in reference mj rollouts; see models/point.py constants)
+        margin = getattr(robot, "WALL_CONTACT_MARGIN", 0.0)
+        if margin > 0.0:
+            push = segments.penetration_push(self.walls, resolved, margin)
+            qvel = qvel.at[:2].add(
+                push * (getattr(robot, "WALL_EJECT_GAIN", 1.0) / dt)
+            )
         new_state = EnvState(
             qpos=qpos, qvel=qvel, t=state.t + 1, key=state.key
         )

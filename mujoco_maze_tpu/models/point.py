@@ -41,6 +41,13 @@ class PointRobot(Robot):
     # Contact-friction decay of slide qvel per mj_step, calibrated against
     # MuJoCo 3 rollouts of assets/point.xml (see tests/test_point_golden.py).
     FRICTION_DECAY: float = 0.10
+    # Wall-contact ejection: the body sphere (0.5, point.xml:22) is larger
+    # than the manual-collision inflation RADIUS (0.4, point.py:31), so
+    # pressing against a wall overlaps the geoms by up to 0.1 and MuJoCo
+    # ejects with a large outward qvel.  margin = 0.5 - RADIUS; gain
+    # calibrated on goldens.
+    WALL_CONTACT_MARGIN: float = 0.1
+    WALL_EJECT_GAIN: float = 2.0
 
     def action_bounds(self) -> Tuple[np.ndarray, np.ndarray]:
         # Dummy-actuator ctrl ranges (point.xml:29-32).

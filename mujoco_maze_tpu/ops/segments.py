@@ -104,6 +104,30 @@ def resolve(
     return jnp.where(c1.hit, corrected, new)
 
 
+def penetration_push(
+    walls: Walls, p: jnp.ndarray, margin: float
+) -> jnp.ndarray:
+    """Summed outward push direction for a point within ``margin`` of walls.
+
+    Returns ``(2,)``: Σ over walls of ``max(0, margin - dist) * n̂`` where
+    ``dist`` is point-to-*segment* distance and ``n̂`` points from the wall
+    toward the point.  Models the contact ejection MuJoCo applies when the
+    robot's geom (radius > collision-detector inflation) overlaps a wall box
+    — observed in reference rollouts as large transient qvel.
+    """
+    v1 = walls.p2 - walls.p1                                   # (W, 2)
+    nrm2 = jnp.sum(v1 * v1, axis=-1)
+    safe_n = jnp.where(nrm2 == 0.0, 1.0, nrm2)
+    t = jnp.sum((p[None, :] - walls.p1) * v1, axis=-1) / safe_n
+    t = jnp.clip(t, 0.0, 1.0)
+    closest = walls.p1 + t[:, None] * v1                       # (W, 2)
+    d = p[None, :] - closest
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+    pen = jnp.maximum(margin - dist, 0.0) * walls.mask
+    n = d / dist[:, None]
+    return jnp.sum(pen[:, None] * n, axis=0)
+
+
 def pad_walls(segments, max_walls: int) -> Walls:
     """Pad an ``(n, 2, 2)`` numpy segment soup to a fixed-size ``Walls``."""
     import numpy as np

@@ -1,0 +1,96 @@
+"""Differential fidelity tests: JAX Point engine vs recorded MuJoCo goldens.
+
+Goldens are produced by ``tools/golden_gen.py``: the reference's composed
+world on real MuJoCo 3 with the reference's step semantics (kinematic point
+writes + mj_step + manual collision).  Metrics:
+
+* free-run: first steps match closely (kinematics dominate; mj_step residual
+  is mm-scale);
+* teacher-forced: stepping *from the golden state* each step bounds the
+  one-step model error without chaotic compounding (wall-bounce steps make
+  long free runs diverge — expected for any non-bit-identical engine).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mujoco_maze_tpu as mmt
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+# (env_id, seed, free-run atol): wall-heavy seeds diverge faster because the
+# engine's contact-solver noise (warmstart-dependent ejection velocities) is
+# not bit-reproducible — the 4Rooms seed presses into walls from step ~2.
+CASES = [
+    ("PointUMaze-v0", 0, 5e-3),
+    ("PointUMaze-v0", 7, 5e-3),
+    ("Point4Rooms-v1", 3, 0.25),
+    ("PointCorridor-v0", 5, 5e-3),
+]
+
+
+def _load(env_id, seed):
+    path = os.path.join(GOLDEN_DIR, f"{env_id}_s{seed}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {path} missing (run tools/golden_gen.py)")
+    return np.load(path)
+
+
+@pytest.mark.parametrize("env_id, seed, atol", CASES)
+def test_free_run_short_horizon(env_id, seed, atol):
+    g = _load(env_id, seed)
+    spec = mmt.make_spec(env_id)
+    state, _ = spec.reset(jax.random.PRNGKey(0))
+    state = state._replace(
+        qpos=jnp.asarray(g["reset_qpos"], jnp.float32),
+        qvel=jnp.asarray(g["reset_qvel"], jnp.float32),
+    )
+    step = jax.jit(spec.step)
+    for t in range(10):
+        res = step(state, jnp.asarray(g["actions"][t], jnp.float32))
+        state = res.state
+        np.testing.assert_allclose(
+            np.asarray(state.qpos)[:3], g["qpos"][t][:3], atol=atol,
+            err_msg=f"t={t}",
+        )
+
+
+@pytest.mark.parametrize("env_id, seed, atol", CASES)
+def test_teacher_forced_one_step_error(env_id, seed, atol):
+    g = _load(env_id, seed)
+    spec = mmt.make_spec(env_id)
+    state0, _ = spec.reset(jax.random.PRNGKey(0))
+    step = jax.jit(spec.step)
+    errs = []
+    qpos_prev, qvel_prev = g["reset_qpos"], g["reset_qvel"]
+    for t in range(len(g["actions"])):
+        st = state0._replace(
+            qpos=jnp.asarray(qpos_prev, jnp.float32),
+            qvel=jnp.asarray(qvel_prev, jnp.float32),
+        )
+        res = step(st, jnp.asarray(g["actions"][t], jnp.float32))
+        errs.append(np.abs(np.asarray(res.state.qpos)[:3] - g["qpos"][t][:3]))
+        qpos_prev, qvel_prev = g["qpos"][t], g["qvel"][t]
+    errs = np.asarray(errs)
+    assert errs.mean() < 0.01, f"mean one-step error {errs.mean()}"
+    assert np.median(errs) < 2e-3, f"median one-step error {np.median(errs)}"
+
+
+def test_kinematic_exactness_no_contact():
+    """Away from walls with zero qvel, the step is bit-level kinematics."""
+    spec = mmt.make_spec("PointUMaze-v0")
+    state, _ = spec.reset(jax.random.PRNGKey(0))
+    state = state._replace(
+        qpos=jnp.zeros_like(state.qpos), qvel=jnp.zeros_like(state.qvel)
+    )
+    res = jax.jit(spec.step)(state, jnp.asarray([0.3, 0.1], jnp.float32))
+    ori = 0.1
+    np.testing.assert_allclose(
+        np.asarray(res.state.qpos),
+        [np.cos(ori) * 0.3, np.sin(ori) * 0.3, ori],
+        rtol=1e-6,
+    )
