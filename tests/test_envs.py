@@ -64,6 +64,41 @@ def test_point_maze(maze_id):
             assert r < 0.0
 
 
+@pytest.mark.parametrize("maze_id", TaskRegistry.keys())
+def test_swimmer_maze(maze_id):
+    # parity with reference skips (test_envs.py:69-71)
+    for inhibited in ["Fall", "Push", "Block", "Billiard"]:
+        if inhibited in maze_id:
+            return
+    for i in range(2):
+        env_id = f"Swimmer{maze_id}-v{i}"
+        if env_id not in mmt.ENV_REGISTRY:
+            continue
+        env = mmt.make(env_id)
+        s0, _ = env.reset(seed=0)
+        s, _, _, _, _ = env.step(env.action_space.sample())
+        if not env.has_extended_obs:
+            assert s0.shape == (11,)
+            assert s.shape == (11,)
+
+
+@pytest.mark.parametrize("maze_id", TaskRegistry.keys())
+def test_reacher_maze(maze_id):
+    for inhibited in ["Fall", "Push", "Block", "Billiard"]:
+        if inhibited in maze_id:
+            return
+    for i in range(2):
+        env_id = f"Reacher{maze_id}-v{i}"
+        if env_id not in mmt.ENV_REGISTRY:
+            continue
+        env = mmt.make(env_id)
+        s0, _ = env.reset(seed=0)
+        s, _, _, _, _ = env.step(env.action_space.sample())
+        if not env.has_extended_obs:
+            assert s0.shape == (9,)
+            assert s.shape == (9,)
+
+
 @pytest.mark.parametrize("maze_id", ["2Rooms", "4Rooms", "Billiard"])
 def test_subgoal_envs(maze_id):
     env = mmt.make(f"Point{maze_id}-v2")
