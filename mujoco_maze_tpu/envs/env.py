@@ -70,7 +70,8 @@ class _BlockRuntime(NamedTuple):
 class _BallRuntime(NamedTuple):
     body_pos: jnp.ndarray  # (2,)
     size: float
-    qpos_idx: Tuple[int, ...]  # x, y, rot
+    qpos_idx: Tuple[int, ...]  # hinge kind: (x, y, rot); free kind: (adr,)
+    kind: str = "hinge"        # "hinge" | "free"
 
 
 class MazeEnvSpec:
@@ -117,12 +118,16 @@ class MazeEnvSpec:
         )
 
         # ---- world dof layout: robot dofs, then blocks, then balls ------
-        self._build_world_layout()
-
-        # ---- init state -------------------------------------------------
-        init_qpos = np.zeros(self.nq, dtype=np.float64)
-        init_qpos[: robot.nq] = robot.init_qpos(ms.height_offset)
-        self.init_qpos = init_qpos
+        self.dynamic_model = None
+        self.contact_set = None
+        if getattr(robot, "USES_WORLD_ENGINE", False):
+            self._build_engine_world()
+            self.init_qpos = self.dynamic_model.qpos0.copy()
+        else:
+            self._build_world_layout()
+            init_qpos = np.zeros(self.nq, dtype=np.float64)
+            init_qpos[: robot.nq] = robot.init_qpos(ms.height_offset)
+            self.init_qpos = init_qpos
         self.init_qvel = np.zeros(self.nv, dtype=np.float64)
 
         # ---- observation metadata ---------------------------------------
@@ -200,6 +205,238 @@ class MazeEnvSpec:
         self.nv = next_idx
         self.grid_arr = jnp.asarray(ms.grid)
 
+    def _build_engine_world(self) -> None:
+        """Compose robot + movable objects + static maze geoms into ONE
+        RigidModel stepped by the engine with contacts (the Ant path).
+
+        Replaces the reference's XML world synthesis (maze_env.py:97-217):
+        movable blocks become slide/ball-jointed box bodies whose travel
+        limits encode block-vs-wall collision; object balls become freejoint
+        spheres; BLOCK cells and elevated platforms become static AABBs; the
+        floor is a plane.  All MuJoCo default-class params of the robot XML
+        carry over, including the solimp hardening applied when movable
+        blocks exist (maze_env.py:108-112).
+        """
+        from ..physics import contact as contact_mod
+        from ..physics import engine as engine_mod
+        from ..physics.model import (
+            BALL as J_BALL,
+            FREE as J_FREE,
+            SLIDE as J_SLIDE,
+            Body,
+            Geom,
+            Joint,
+            build_model,
+        )
+
+        ms = self.structure
+        robot = self.robot
+        bodies, actuators = robot.build_bodies(
+            torso_z=0.75 + ms.height_offset
+        )
+        n_robot_bodies = len(bodies)
+
+        geom_default = dict(robot.WORLD_GEOM_DEFAULTS)
+        if ms.any_blocks:
+            # better contact detection with movable blocks (maze_env.py:108-112)
+            geom_default["solimp"] = (0.995, 0.995, 0.01)
+            for _, g in [(i, g) for b in bodies for i, g in enumerate(b.geoms)]:
+                g.solimp = (0.995, 0.995, 0.01)
+
+        block_joint_names: List[Tuple[str, object]] = []
+        for b in ms.movable_blocks:
+            joints = []
+            lo, hi = self._block_xy_limits(b)
+            if b.move_x:
+                joints.append(
+                    Joint(
+                        J_SLIDE, axis=(1, 0, 0), name=f"{b.name}_x",
+                        limited=True,
+                        range=(lo[0] - b.pos[0], hi[0] - b.pos[0]),
+                    )
+                )
+            if b.move_y:
+                joints.append(
+                    Joint(
+                        J_SLIDE, axis=(0, 1, 0), name=f"{b.name}_y",
+                        limited=True,
+                        range=(lo[1] - b.pos[1], hi[1] - b.pos[1]),
+                    )
+                )
+            if b.move_z:
+                joints.append(
+                    Joint(
+                        J_SLIDE, axis=(0, 0, 1), name=f"{b.name}_z",
+                        limited=True, range=b.z_range,
+                    )
+                )
+            if b.spin:
+                joints.append(Joint(J_BALL, name=f"{b.name}_spin"))
+            bodies.append(
+                Body(
+                    name=b.name,
+                    parent=-1,
+                    pos=b.pos,
+                    joints=joints,
+                    geoms=[
+                        Geom(
+                            gtype=2,  # box
+                            size=b.size,
+                            mass=b.mass,
+                            contype=1,
+                            conaffinity=1,
+                            **geom_default,
+                        )
+                    ],
+                )
+            )
+            block_joint_names.append((b.name, b))
+        for ob in ms.object_balls:
+            # freejoint object ball (ant path — maze_env.py:539-560)
+            ball_geom = Geom(
+                gtype=0,
+                size=(ob.size,),
+                pos=(0.0, 0.0, ob.size),
+                contype=1,
+                conaffinity=1,
+                density=geom_default.get("density", 1000.0),
+                friction=geom_default.get("friction", (1.0, 0.5, 0.5)),
+                solref=geom_default.get("solref", (0.02, 1.0)),
+                solimp=(0.9, 0.99, 0.001),
+                margin=geom_default.get("margin", 0.0),
+            )
+            bodies.append(
+                Body(
+                    name=ob.name,
+                    parent=-1,
+                    pos=(ob.pos[0], ob.pos[1], 0.0),
+                    joints=[Joint(J_FREE, name=f"{ob.name}_root")],
+                    geoms=[ball_geom],
+                )
+            )
+
+        statics = [
+            Geom(gtype=3, size=(), pos=(0, 0, 0), contype=1, conaffinity=1,
+                 friction=geom_default.get("friction", (1.0, 0.5, 0.5)),
+                 solref=geom_default.get("solref", (0.02, 1.0)),
+                 solimp=geom_default.get("solimp", (0.8, 0.8, 0.01)),
+                 margin=geom_default.get("margin", 0.0))
+        ]
+        for pos, size in zip(ms.block_pos, ms.block_size):
+            statics.append(
+                Geom(gtype=2, size=tuple(size), pos=tuple(pos),
+                     contype=1, conaffinity=1, **geom_default)
+            )
+        for pos, size in zip(ms.platform_pos, ms.platform_size):
+            statics.append(
+                Geom(gtype=2, size=tuple(size), pos=tuple(pos),
+                     contype=1, conaffinity=1, **geom_default)
+            )
+
+        model = build_model(
+            bodies,
+            actuators,
+            timestep=robot.timestep,
+            static_geoms=statics,
+        )
+        self.dynamic_model = engine_mod.prepare(model)
+        self.contact_set = contact_mod.build_contact_set(model)
+        self.nq = model.nq
+        self.nv = model.nv
+        self.grid_arr = jnp.asarray(ms.grid)
+
+        # Floor-support impedance for z-slide ("falling") blocks.  Reference
+        # geometry note: movable blocks sit at z = h with their bottom ON the
+        # global floor plane, which extends under chasm cells too
+        # (maze_env.py:563-599 + the robot XML floor geoms) — so reference
+        # blocks never free-fall; they slide with bottom on the floor.  The
+        # z dof therefore gets an unconditional z >= 0 impedance (the engine
+        # replacement for box-vs-floor contact; moving-box static contacts
+        # are excluded by design — physics/contact.py).
+        falling = []
+        k = 0
+        jadr_by_name = {}
+        for bidx, b in enumerate(bodies):
+            for jn in b.joints:
+                jadr_by_name[jn.name] = (int(model.jnt_dofadr[k]), bidx)
+                k += 1
+        for name, b in block_joint_names:
+            if b.falling:
+                zdof, bodyidx = jadr_by_name[f"{name}_z"]
+                falling.append((bodyidx, zdof))
+        self._falling_blocks = tuple(falling)
+        tc = max(0.02, 2.0 * robot.timestep)
+        self._support_params = (tc, 0.95, 2.0 / (0.95 * tc), 0.95 / (0.95**2 * tc**2))
+
+        def support_qfrc(kd, qacc0, Minv, qvel_now):
+            qfrc = jnp.zeros(self.nv, qvel_now.dtype)
+            _, d_imp, b_imp, k_imp = self._support_params
+            for bodyidx, zdof in self._falling_blocks:
+                center = kd.fkr.body_pos[bodyidx]
+                z = center[2] - jnp.asarray(
+                    self.dynamic_model.body_pos[bodyidx][2], qvel_now.dtype
+                )
+                r = jnp.minimum(z, 0.0)
+                vz = qvel_now[zdof]
+                a0 = qacc0[zdof]
+                A = Minv[zdof, zdof] + 1e-9
+                aref = -b_imp * vz - k_imp * r
+                f = d_imp * (aref - a0) / A
+                f = jnp.maximum(f, 0.0)
+                qfrc = qfrc.at[zdof].add(jnp.where(z < 0.01, f, 0.0))
+            return qfrc
+
+        self.engine_support_qfrc = support_qfrc
+
+        # obs runtimes from the model's joint addresses
+        jadr = {}
+        for j in range(model.njnt):
+            pass
+        name_to_qadr = {}
+        k = 0
+        for b in bodies:
+            for jn in b.joints:
+                name_to_qadr[jn.name] = int(model.jnt_qposadr[k])
+                k += 1
+        blocks: List[_BlockRuntime] = []
+        for name, b in block_joint_names:
+            idxs = [
+                name_to_qadr.get(f"{name}_x", -1),
+                name_to_qadr.get(f"{name}_y", -1),
+                name_to_qadr.get(f"{name}_z", -1),
+                name_to_qadr.get(f"{name}_spin", -1),
+            ]
+            lo, hi = self._block_xy_limits(b)
+            blocks.append(
+                _BlockRuntime(
+                    body_pos=jnp.asarray(np.asarray(b.pos), self.dtype),
+                    half=jnp.asarray(np.asarray(b.size), self.dtype),
+                    axis_mask=jnp.asarray(
+                        [float(b.move_x), float(b.move_y), float(b.move_z)],
+                        self.dtype,
+                    ),
+                    spin=b.spin,
+                    falling=b.falling,
+                    xy_lo=jnp.asarray(lo, self.dtype),
+                    xy_hi=jnp.asarray(hi, self.dtype),
+                    z_lo=float(b.z_range[0]),
+                    qpos_idx=tuple(idxs),
+                )
+            )
+        self.block_runtimes = tuple(blocks)
+        balls: List[_BallRuntime] = []
+        for ob in ms.object_balls:
+            adr = name_to_qadr[f"{ob.name}_root"]
+            balls.append(
+                _BallRuntime(
+                    body_pos=jnp.asarray(np.asarray(ob.pos), self.dtype),
+                    size=float(ob.size),
+                    qpos_idx=(adr,),
+                    kind="free",
+                )
+            )
+        self.ball_runtimes = tuple(balls)
+
     def _block_xy_limits(self, b) -> Tuple[np.ndarray, np.ndarray]:
         """Static travel limits of a movable block's center per axis.
 
@@ -260,8 +497,20 @@ class MazeEnvSpec:
         return b.body_pos + jnp.stack(disp)
 
     def _ball_center(self, qpos: jnp.ndarray, ob: _BallRuntime) -> jnp.ndarray:
-        """(2,) current ball body origin."""
+        """(2,) current ball body origin (xy)."""
+        if ob.kind == "free":
+            adr = ob.qpos_idx[0]
+            return qpos[adr : adr + 2]
         return ob.body_pos + jnp.stack([qpos[ob.qpos_idx[0]], qpos[ob.qpos_idx[1]]])
+
+    def _ball_center3(self, qpos: jnp.ndarray, ob: _BallRuntime) -> jnp.ndarray:
+        """(3,) ball body origin — the reference's get_body_com(objball)."""
+        if ob.kind == "free":
+            adr = ob.qpos_idx[0]
+            return qpos[adr : adr + 3]
+        return jnp.concatenate(
+            [self._ball_center(qpos, ob), jnp.zeros((1,), self.dtype)]
+        )
 
     def _cell_at(self, xy: jnp.ndarray) -> jnp.ndarray:
         """Grid cell value under a world xy position (clamped to bounds)."""
@@ -312,17 +561,8 @@ class MazeEnvSpec:
             n = jnp.where(inside, n_inside, n)
             push = jnp.where(overlap > 0, overlap, 0.0) * n
             push = push * b.axis_mask[:2]
-            # z-fall: unsupported falling blocks drop (chasm beneath)
-            if b.falling:
-                zidx = b.qpos_idx[2]
-                under = self._cell_at(center[:2])
-                unsupported = under == int(MazeCell.CHASM)
-                vz = qvel[zidx] - jnp.where(unsupported, GRAVITY * dt, 0.0)
-                z = jnp.clip(qpos[zidx] + vz * dt, b.z_lo, 0.0)
-                vz = jnp.where(z <= b.z_lo, 0.0, vz)
-                vz = jnp.where(unsupported, vz, 0.0)
-                qpos = qpos.at[zidx].set(z)
-                qvel = qvel.at[zidx].set(vz)
+            # z dof: reference blocks rest with their bottom on the global
+            # floor plane (see _build_engine_world note) — z stays at 0.
             for k2 in range(2):
                 idx = b.qpos_idx[k2]
                 if idx >= 0:
@@ -399,8 +639,7 @@ class MazeEnvSpec:
         extras = []
         if self.task.OBSERVE_BALLS:
             for ob in self.ball_runtimes:
-                c = self._ball_center(state.qpos, ob)
-                extras.append(jnp.concatenate([c, jnp.zeros((1,), self.dtype)]))
+                extras.append(self._ball_center3(state.qpos, ob))
         if self.task.OBSERVE_BLOCKS:
             for b in self.block_runtimes:
                 extras.append(self._block_center(state.qpos, b))

@@ -164,23 +164,29 @@ def kin_dyn(model: RigidModel, qpos: jnp.ndarray, qvel: jnp.ndarray) -> KinDyn:
                 for k in range(3):
                     e = jnp.zeros(3, dtype=dtype).at[k].set(1.0)
                     cdof_rows[vadr + k] = jnp.concatenate([jnp.zeros(3, dtype), e])
+                    cdofdot_rows[vadr + k] = jnp.zeros(6, dtype=dtype)
+                    v = v + cdof_rows[vadr + k] * qvel[vadr + k]
                 for k in range(3):
                     a_w = basis[:, k]
                     cdof_rows[vadr + 3 + k] = jnp.concatenate(
                         [a_w, jnp.cross(anchor, a_w)]
                     )
-                for k in range(6):
-                    cdofdot_rows[vadr + k] = motion_cross(v, cdof_rows[vadr + k])
-                    v = v + cdof_rows[vadr + k] * qvel[vadr + k]
+                    v = v + cdof_rows[vadr + 3 + k] * qvel[vadr + 3 + k]
+                # angular axes are body-fixed: ṡ uses the body's FULL
+                # velocity (they rotate with every dof of this joint)
+                for k in range(3):
+                    cdofdot_rows[vadr + 3 + k] = motion_cross(
+                        v, cdof_rows[vadr + 3 + k]
+                    )
             elif jt == BALL:
                 for k in range(3):
                     a_w = basis[:, k]
                     cdof_rows[vadr + k] = jnp.concatenate(
                         [a_w, jnp.cross(anchor, a_w)]
                     )
+                    v = v + cdof_rows[vadr + k] * qvel[vadr + k]
                 for k in range(3):
                     cdofdot_rows[vadr + k] = motion_cross(v, cdof_rows[vadr + k])
-                    v = v + cdof_rows[vadr + k] * qvel[vadr + k]
             elif jt == SLIDE:
                 cdof_rows[vadr] = jnp.concatenate([jnp.zeros(3, dtype), basis])
                 cdofdot_rows[vadr] = motion_cross(v, cdof_rows[vadr])
@@ -426,7 +432,8 @@ def limit_force(
     """
     dtype = qpos.dtype
     qfrc = jnp.zeros(model.nv, dtype=dtype)
-    tc = 0.02
+    # MuJoCo clamps solref timeconst to >= 2*timestep for stability
+    tc = max(0.02, 2.0 * model.timestep)
     d0, dmax, width = 0.9, 0.95, 0.001
     b = 2.0 / (dmax * tc)
     for j in range(model.njnt):
@@ -488,12 +495,14 @@ def forward(
     tau = actuator_force(model, ctrl)
     tau = tau + fluid_force(model, kd, qvel)
     tau = tau - jnp.asarray(model.dof_damping, qpos.dtype) * qvel
-    Minv = jnp.linalg.inv(M)
+    from .linalg import spd_inverse
+
+    Minv = spd_inverse(M)
     qacc0 = Minv @ (tau - bias)
     minv_diag = jnp.diagonal(Minv)
     f_con = limit_force(model, qpos, qvel, qacc0, minv_diag)
     if extra_qfrc is not None:
-        f_con = f_con + extra_qfrc(kd, qacc0, minv_diag)
+        f_con = f_con + extra_qfrc(kd, qacc0, Minv, qvel)
     return Minv @ (tau + f_con - bias)
 
 
@@ -539,26 +548,34 @@ def rk4_step(
     ctrl: jnp.ndarray,
     extra_qfrc=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One RK4 step of size model.timestep (parity: mj RK4 integrator)."""
+    """One RK4 step of size model.timestep (parity: mj RK4 integrator).
+
+    The four stages run under one ``lax.scan`` so the (large) forward-
+    dynamics graph is compiled once per step, not four times — a major
+    compile-time win for contact-rich models."""
     h = model.timestep
+    dtype = qpos.dtype
 
     def acc(q, v):
         return forward(model, q, v, ctrl, extra_qfrc)
 
-    a1 = acc(qpos, qvel)
-    q2 = integrate_pos(model, qpos, qvel, h / 2)
-    v2 = qvel + a1 * (h / 2)
-    a2 = acc(q2, v2)
-    q3 = integrate_pos(model, qpos, v2, h / 2)
-    v3 = qvel + a2 * (h / 2)
-    a3 = acc(q3, v3)
-    q4 = integrate_pos(model, qpos, v3, h)
-    v4 = qvel + a3 * h
-    a4 = acc(q4, v4)
-    v_avg = (qvel + 2 * v2 + 2 * v3 + v4) / 6.0
-    a_avg = (a1 + 2 * a2 + 2 * a3 + a4) / 6.0
-    qpos_out = integrate_pos(model, qpos, v_avg, h)
-    qvel_out = qvel + a_avg * h
+    h_s = jnp.asarray([0.0, h / 2, h / 2, h], dtype)
+    w_s = jnp.asarray([1.0, 2.0, 2.0, 1.0], dtype)
+
+    def stage(carry, xs):
+        prev_v, prev_a, acc_v, acc_a = carry
+        hs, w = xs
+        q_s = integrate_pos(model, qpos, prev_v, hs)
+        v_s = qvel + prev_a * hs
+        a_s = acc(q_s, v_s)
+        return (v_s, a_s, acc_v + w * v_s, acc_a + w * a_s), None
+
+    zero_v = jnp.zeros_like(qvel)
+    (_, _, acc_v, acc_a), _ = jax.lax.scan(
+        stage, (qvel, zero_v, zero_v, zero_v), (h_s, w_s)
+    )
+    qpos_out = integrate_pos(model, qpos, acc_v / 6.0, h)
+    qvel_out = qvel + (acc_a / 6.0) * h
     return qpos_out, qvel_out
 
 

@@ -80,6 +80,7 @@ class Geom:
     conaffinity: int = 1
     solref: Tuple[float, float] = (0.02, 1.0)
     solimp: Tuple[float, float, float] = (0.9, 0.95, 0.001)
+    margin: float = 0.0
     name: str = ""
 
     @staticmethod
@@ -201,6 +202,8 @@ class RigidModel:
     act_ctrlrange: np.ndarray          # (nu, 2)
     # geoms (for fluid + contacts)
     geoms: List[Tuple[int, Geom]]      # (body_index, geom)
+    # static world geoms (body = world): fixed world pose
+    static_geoms: List[Geom] = None
     # options
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
     timestep: float = 0.01
@@ -224,6 +227,7 @@ def build_model(
     timestep: float = 0.01,
     viscosity: float = 0.0,
     fluid_density: float = 0.0,
+    static_geoms: Optional[List[Geom]] = None,
 ) -> RigidModel:
     nb = len(bodies)
     body_parent = np.array([b.parent for b in bodies], dtype=np.int32)
@@ -287,6 +291,10 @@ def build_model(
     qpos0 = np.zeros(q_adr)
     for jid, t in enumerate(jnt_type):
         if t == FREE:
+            # free-joint reference = the body's world position (MuJoCo qpos0)
+            qpos0[jnt_qposadr[jid] : jnt_qposadr[jid] + 3] = body_pos[
+                jnt_body[jid]
+            ]
             qpos0[jnt_qposadr[jid] + 3] = 1.0  # identity quat
         elif t == BALL:
             qpos0[jnt_qposadr[jid]] = 1.0
@@ -334,6 +342,7 @@ def build_model(
         act_gear=np.asarray(act_gear, dtype=np.float64),
         act_ctrlrange=np.asarray(act_ctrlrange, dtype=np.float64),
         geoms=geoms,
+        static_geoms=list(static_geoms or []),
         gravity=gravity,
         timestep=timestep,
         viscosity=viscosity,

@@ -64,6 +64,29 @@ def test_point_maze(maze_id):
             assert r < 0.0
 
 
+# Ant env specs are expensive to compile on CPU; contract-test a
+# representative subset covering plain, Push, Fall and object worlds.
+# (Reference runs all mazes — test_envs.py:7-18 — but against the C engine.)
+ANT_SMOKE_MAZES = ["UMaze", "Push", "Fall", "4Rooms", "BlockCarry"]
+
+
+@pytest.mark.parametrize("maze_id", ANT_SMOKE_MAZES)
+def test_ant_maze(maze_id):
+    if "Billiard" in maze_id:  # parity skip (test_envs.py:9-10)
+        return
+    for i in range(2):
+        env_id = f"Ant{maze_id}-v{i}"
+        if env_id not in mmt.ENV_REGISTRY:
+            continue
+        env = mmt.make(env_id)
+        s0, _ = env.reset(seed=0)
+        s, _, _, _, _ = env.step(env.action_space.sample())
+        if not env.has_extended_obs:
+            assert s0.shape == (30,)
+            assert s.shape == (30,)
+        break  # one reward variant per maze keeps CPU compile time sane
+
+
 @pytest.mark.parametrize("maze_id", TaskRegistry.keys())
 def test_swimmer_maze(maze_id):
     # parity with reference skips (test_envs.py:69-71)
