@@ -137,6 +137,8 @@ class MazeEnvSpec:
         if self.task.OBSERVE_BLOCKS:
             n_objects += len(ms.movable_blocks)
         self.obs_dim = robot.obs_dim + 3 * n_objects + 1
+        if self.task.TOP_DOWN_VIEW:
+            self.obs_dim += self.TOP_DOWN_VIEW_SIZE**2 * 3
         self.has_extended_obs = (
             self.task.TOP_DOWN_VIEW or self.task.OBSERVE_BLOCKS or self.task.OBSERVE_BALLS
         )
@@ -632,6 +634,95 @@ class MazeEnvSpec:
         return qpos, qvel
 
     # ------------------------------------------------------------------
+    # top-down view (generalized port of maze_env.py:262-349)
+    # ------------------------------------------------------------------
+    TOP_DOWN_VIEW_SIZE = 5  # reference fixed 5x5x3 (maze_env.py:95)
+
+    def _top_down_view(self, state: EnvState) -> jnp.ndarray:
+        """Egocentric (V, V, 3) occupancy: walls, chasms, movable blocks.
+
+        Fractional-area splatting over a 3x3 stencil per item, vectorized;
+        the reference's hardcoded ``2 +`` center offsets generalize to
+        ``V // 2`` (SURVEY quirk list).
+        """
+        ms = self.structure
+        s = ms.size_scaling
+        V = self.TOP_DOWN_VIEW_SIZE
+        c = V // 2
+        robot_xy = state.qpos[:2]
+
+        # static item positions (world): walls (d=0), chasms (d=1)
+        items_xy: List[np.ndarray] = []
+        items_d: List[int] = []
+        h_cells, w_cells = ms.grid.shape
+        for i in range(h_cells):
+            for j in range(w_cells):
+                cell = MazeCell(int(ms.grid[i, j]))
+                if cell.is_block():
+                    items_xy.append(
+                        np.array([j * s - ms.torso_x, i * s - ms.torso_y])
+                    )
+                    items_d.append(0)
+                elif cell.is_chasm():
+                    items_xy.append(
+                        np.array([j * s - ms.torso_x, i * s - ms.torso_y])
+                    )
+                    items_d.append(1)
+        static_xy = jnp.asarray(
+            np.asarray(items_xy, dtype=np.float64).reshape(-1, 2), self.dtype
+        )
+        static_d = np.asarray(items_d, dtype=np.int32)
+
+        view = jnp.zeros((V, V, 3), self.dtype)
+
+        def splat(view, xy_rel, d):
+            # (N, 2) relative positions, static depth index d per item
+            row = c + (xy_rel[:, 1] + s / 2) / s
+            col = c + (xy_rel[:, 0] + s / 2) / s
+            r0 = jnp.floor(row).astype(jnp.int32)
+            c0 = jnp.floor(col).astype(jnp.int32)
+            rf = row - r0
+            cf = col - c0
+            wr = jnp.stack(
+                [
+                    jnp.maximum(0.0, 0.5 - rf),
+                    jnp.minimum(1.0, rf + 0.5) - jnp.maximum(0.0, rf - 0.5),
+                    jnp.maximum(0.0, rf - 0.5),
+                ],
+                axis=-1,
+            )  # (N, 3)
+            wc = jnp.stack(
+                [
+                    jnp.maximum(0.0, 0.5 - cf),
+                    jnp.minimum(1.0, cf + 0.5) - jnp.maximum(0.0, cf - 0.5),
+                    jnp.maximum(0.0, cf - 0.5),
+                ],
+                axis=-1,
+            )
+            for dr in range(3):
+                for dc in range(3):
+                    rr = r0 + (dr - 1)
+                    cc = c0 + (dc - 1)
+                    w = wr[:, dr] * wc[:, dc]
+                    valid = (rr >= 0) & (rr < V) & (cc >= 0) & (cc < V)
+                    rr = jnp.clip(rr, 0, V - 1)
+                    cc = jnp.clip(cc, 0, V - 1)
+                    view = view.at[rr, cc, d].add(jnp.where(valid, w, 0.0))
+            return view
+
+        if len(static_d):
+            for depth in (0, 1):
+                sel = np.nonzero(static_d == depth)[0]
+                if len(sel):
+                    view = splat(view, static_xy[sel] - robot_xy[None, :], depth)
+        if self.block_runtimes:
+            block_xy = jnp.stack(
+                [self._block_center(state.qpos, b)[:2] for b in self.block_runtimes]
+            )
+            view = splat(view, block_xy - robot_xy[None, :], 2)
+        return view
+
+    # ------------------------------------------------------------------
     # observation assembly (maze_env.py:351-369)
     # ------------------------------------------------------------------
     def _observe(self, state: EnvState) -> jnp.ndarray:
@@ -643,7 +734,10 @@ class MazeEnvSpec:
         if self.task.OBSERVE_BLOCKS:
             for b in self.block_runtimes:
                 extras.append(self._block_center(state.qpos, b))
-        tail = [robot_obs[3:], (state.t.astype(self.dtype) * 0.001)[None]]
+        tail = [robot_obs[3:]]
+        if self.task.TOP_DOWN_VIEW:
+            tail.append(self._top_down_view(state).reshape(-1))
+        tail.append((state.t.astype(self.dtype) * 0.001)[None])
         return jnp.concatenate([robot_obs[:3], *extras, *tail])
 
     # ------------------------------------------------------------------

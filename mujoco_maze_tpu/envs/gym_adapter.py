@@ -33,13 +33,22 @@ from .env import EnvState, MazeEnvSpec
 class MazeGymEnv(gymnasium.Env if _GYMNASIUM else object):
     metadata = {"render_modes": ["rgb_array"], "render_fps": 50}
 
-    def __init__(self, spec: MazeEnvSpec, entry=None) -> None:
+    def __init__(
+        self,
+        spec: MazeEnvSpec,
+        entry=None,
+        websock_port: Optional[int] = None,
+        image_shape=(600, 480),
+    ) -> None:
         self.spec_tpu = spec
         self.registry_entry = entry
         self._step_fn = jax.jit(spec.step)
         self._reset_fn = jax.jit(spec.reset)
         self._state: Optional[EnvState] = None
         self._np_seed_counter = 0
+        self._websock_port = websock_port
+        self._websock_server_pipe = None
+        self._image_shape = image_shape
 
         low, high = spec.observation_bounds()
         a_low, a_high = spec.action_bounds()
@@ -85,7 +94,13 @@ class MazeGymEnv(gymnasium.Env if _GYMNASIUM else object):
 
     def step(self, action) -> Tuple[np.ndarray, float, bool, bool, Dict[str, Any]]:
         assert self._state is not None, "call reset() first"
-        action = jnp.asarray(np.asarray(action), self.spec_tpu.dtype)
+        action = np.asarray(action)
+        if action.shape != (self.spec_tpu.robot.action_dim,):
+            raise ValueError(
+                f"action shape {action.shape} != "
+                f"({self.spec_tpu.robot.action_dim},)"
+            )
+        action = jnp.asarray(action, self.spec_tpu.dtype)
         res = self._step_fn(self._state, action)
         self._state = res.state
         info = {k: np.asarray(v) for k, v in res.info.items()}
@@ -98,13 +113,24 @@ class MazeGymEnv(gymnasium.Env if _GYMNASIUM else object):
         )
 
     def render(self):
+        """RGB frame; with ``websock_port`` set, also streams to the browser
+        viewer (reference behavior: maze_env.py:405-414)."""
         from ..viewer.render2d import render_top_view
 
         assert self._state is not None, "call reset() first"
-        return render_top_view(self.spec_tpu, self._state)
+        frame = render_top_view(self.spec_tpu, self._state)
+        if self._websock_port is not None:
+            if self._websock_server_pipe is None:
+                from ..viewer.server import start_server
+
+                self._websock_server_pipe = start_server(self._websock_port)
+            self._websock_server_pipe.send(frame)
+        return frame
 
     def close(self) -> None:
-        pass
+        if self._websock_server_pipe is not None:
+            self._websock_server_pipe.send(None)  # shutdown sentinel
+            self._websock_server_pipe = None
 
 
 def make_for_gymnasium(env_id: str, **kwargs):

@@ -136,11 +136,29 @@ def make_spec(
     )
 
 
-def make(env_id: str, **kwargs):
-    """Single-env gymnasium-style adapter (host-friendly API)."""
+def make(
+    env_id: str,
+    websock_port: Optional[int] = None,
+    camera_move_x: Optional[float] = None,
+    camera_move_y: Optional[float] = None,
+    camera_zoom: Optional[float] = None,
+    image_shape=(600, 480),
+    **kwargs,
+):
+    """Single-env gymnasium-style adapter (host-friendly API).
+
+    Viewer/camera kwargs mirror the reference MazeEnv signature
+    (maze_env.py:28-44); camera args are accepted for compatibility (the
+    software top-down renderer has a fixed camera).
+    """
     from .envs.gym_adapter import MazeGymEnv
 
-    return MazeGymEnv(make_spec(env_id, **kwargs), entry(env_id))
+    return MazeGymEnv(
+        make_spec(env_id, **kwargs),
+        entry(env_id),
+        websock_port=websock_port,
+        image_shape=image_shape,
+    )
 
 
 def make_batched(env_id: str, num_envs: int, auto_reset: bool = True, **kwargs):

@@ -61,7 +61,7 @@ def render_top_view(spec, state, px_per_cell: int = 32) -> np.ndarray:
         disc(goal.pos[0], goal.pos[1], size, rgb)
     # movable blocks
     for b in spec.block_runtimes:
-        c = np.asarray(b.body_pos)
+        c = np.array(b.body_pos, dtype=np.float64)
         for k in range(2):
             idx = b.qpos_idx[k]
             if idx >= 0:
@@ -74,9 +74,13 @@ def render_top_view(spec, state, px_per_cell: int = 32) -> np.ndarray:
         ] = BLOCK
     # object balls
     for ob in spec.ball_runtimes:
-        c = np.asarray(ob.body_pos).copy()
-        c[0] += qpos[ob.qpos_idx[0]]
-        c[1] += qpos[ob.qpos_idx[1]]
+        if getattr(ob, "kind", "hinge") == "free":
+            adr = ob.qpos_idx[0]
+            c = qpos[adr : adr + 2]
+        else:
+            c = np.array(ob.body_pos, dtype=np.float64)
+            c[0] += qpos[ob.qpos_idx[0]]
+            c[1] += qpos[ob.qpos_idx[1]]
         disc(c[0], c[1], ob.size, BALL)
     # robot
     radius = spec.robot.RADIUS if spec.robot.RADIUS is not None else 0.5
