@@ -106,18 +106,132 @@ class _ServerWorker(mp.Process):
             pass
 
 
+_STDLIB_HTML = """
+<!DOCTYPE html>
+<html>
+  <head><title>mujoco_maze_tpu visualizer</title></head>
+  <body>
+    <h2>mujoco_maze_tpu Visualizer</h2>
+    <img src="/stream" />
+  </body>
+</html>
+"""
+
+
+class _StdlibServerWorker(mp.Process):
+    """Dependency-free fallback: http.server + multipart PNG stream.
+
+    Serves the same workflow as the FastAPI worker without fastapi/uvicorn —
+    ``/`` shows a live <img>, ``/stream`` is a multipart/x-mixed-replace PNG
+    stream.  Works on bare TPU hosts.
+    """
+
+    def __init__(self, pipe, port: int) -> None:
+        super().__init__(daemon=True)
+        self.pipe = pipe
+        self.port = port
+
+    def run(self) -> None:
+        import io
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from PIL import Image
+
+        state = {"frame": None, "closed": False}
+        cond = threading.Condition()
+
+        def pump():
+            while True:
+                arr = self.pipe.recv()
+                with cond:
+                    if arr is None:
+                        state["closed"] = True
+                        cond.notify_all()
+                        return
+                    img = Image.fromarray(arr)
+                    buf = io.BytesIO()
+                    img.save(buf, format="png")
+                    state["frame"] = buf.getvalue()
+                    cond.notify_all()
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path == "/":
+                    body = _STDLIB_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if self.path == "/stream":
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=frame",
+                    )
+                    self.end_headers()
+                    last = None
+                    while True:
+                        with cond:
+                            cond.wait_for(
+                                lambda: state["closed"]
+                                or (state["frame"] is not None and state["frame"] is not last)
+                            )
+                            if state["closed"]:
+                                return
+                            frame = state["frame"]
+                            last = frame
+                        try:
+                            self.wfile.write(b"--frame\r\n")
+                            self.wfile.write(b"Content-Type: image/png\r\n\r\n")
+                            self.wfile.write(frame)
+                            self.wfile.write(b"\r\n")
+                        except (BrokenPipeError, ConnectionResetError):
+                            return
+                self.send_response(404)
+                self.end_headers()
+
+        server = ThreadingHTTPServer(("127.0.0.1", self.port), Handler)
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+
+        def watch_close():
+            with cond:
+                cond.wait_for(lambda: state["closed"])
+            server.shutdown()
+
+        threading.Thread(target=watch_close, daemon=True).start()
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+
+
 def start_server(port: int):
-    """Fork the viewer worker; returns the env side of the frame pipe."""
+    """Fork the viewer worker; returns the env side of the frame pipe.
+
+    Prefers the FastAPI websocket worker (reference workflow); falls back to
+    the stdlib multipart streamer when fastapi/uvicorn are absent.
+    """
     try:
-        import fastapi  # noqa: F401
-        import uvicorn  # noqa: F401
         from PIL import Image  # noqa: F401
     except ImportError as e:  # pragma: no cover
         raise ImportError(
-            "The web viewer needs fastapi, uvicorn and pillow "
-            f"(missing: {e.name}). Install them or use env.render() directly."
+            f"The web viewer needs pillow (missing: {e.name})."
         ) from e
+    try:
+        import fastapi  # noqa: F401
+        import uvicorn  # noqa: F401
+
+        worker_cls = _ServerWorker
+    except ImportError:
+        worker_cls = _StdlibServerWorker
     mainproc_pipe, server_pipe = mp.Pipe()
-    worker = _ServerWorker(server_pipe, port)
+    worker = worker_cls(server_pipe, port)
     worker.start()
     return mainproc_pipe
