@@ -1,0 +1,81 @@
+"""Training surfaces: PPO iteration, profiling harness, sharded rollout."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mujoco_maze_tpu as mmt
+from mujoco_maze_tpu.parallel import mesh as mesh_lib
+from mujoco_maze_tpu.parallel import ppo, rollout
+
+
+def test_ppo_step_runs_and_updates():
+    env = mmt.make_batched("PointUMaze-v0", num_envs=16)
+    cfg = ppo.PPOConfig(rollout_len=8, epochs=2, num_minibatches=2)
+    state = ppo.init_ppo(env, jax.random.PRNGKey(0), hidden=32)
+    step = ppo.make_ppo_step(env, cfg)
+    state2, metrics = step(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["pg_loss"]))
+    assert np.isfinite(float(metrics["mean_reward"]))
+    assert float(jnp.abs(state2.params.w1 - state.params.w1).max()) > 0
+    # composes across iterations
+    state3, metrics2 = step(state2, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics2["vf_loss"]))
+
+
+def test_ppo_improves_value_fit():
+    """On a zero-reward task the value target is exactly 0 — a few PPO
+    iterations must collapse the value loss (wiring check: GAE, returns,
+    gradient flow)."""
+    env = mmt.make_batched("PointSquareRoom-v2", num_envs=32)  # reward == 0
+    cfg = ppo.PPOConfig(
+        rollout_len=16, epochs=4, num_minibatches=2, lr=3e-3, max_grad_norm=10.0
+    )
+    state = ppo.init_ppo(env, jax.random.PRNGKey(0), hidden=32)
+    step = ppo.make_ppo_step(env, cfg)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, jax.random.PRNGKey(10 + i))
+        losses.append(float(metrics["vf_loss"]))
+    assert losses[-1] < 0.5 * losses[0], losses
+
+
+def test_ppo_sharded():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    env = mmt.make_batched("PointUMaze-v0", num_envs=16)
+    cfg = ppo.PPOConfig(rollout_len=4, epochs=1, num_minibatches=2)
+    state = ppo.init_ppo(env, jax.random.PRNGKey(0), hidden=64)
+    p_shard = ppo.param_shardings(mesh)
+    state = state._replace(
+        params=jax.tree_util.tree_map(jax.device_put, state.params, p_shard),
+        opt_m=jax.tree_util.tree_map(jax.device_put, state.opt_m, p_shard),
+        opt_v=jax.tree_util.tree_map(jax.device_put, state.opt_v, p_shard),
+        env_state=mesh_lib.shard_env_state(state.env_state, mesh),
+    )
+    step = ppo.make_ppo_step(env, cfg, mesh=mesh)
+    state2, metrics = step(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["pg_loss"]))
+
+
+def test_sharded_rollout_driver():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    env = mmt.make_batched("PointUMaze-v0", num_envs=32)
+    runner = rollout.ShardedRollout(env, mesh)
+    state, _ = runner.reset(jax.random.PRNGKey(0))
+    state2, rew, eps = runner.rollout_metrics(state, 16, jax.random.PRNGKey(1))
+    assert np.isfinite(float(rew))
+    local = runner.local_shard(state2)
+    assert local.qpos.shape[0] == 32  # single host owns all shards here
+
+
+def test_throughput_harness():
+    from mujoco_maze_tpu.utils.profiling import measure_throughput
+
+    r = measure_throughput("PointUMaze-v0", num_envs=64, steps=32, reps=1)
+    assert r.env_steps_per_s > 0
+    assert r.compile_s > 0
