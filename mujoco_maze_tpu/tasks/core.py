@@ -110,11 +110,14 @@ def lower_goals(goals: List[MazeGoal], pad_to: Optional[int] = None) -> GoalArra
     )
 
 
-def _goal_hits(g: GoalArrays, obs: jnp.ndarray, offset: int) -> jnp.ndarray:
+def _goal_hits(
+    g: GoalArrays, obs: jnp.ndarray, offset: int, goal_pos=None
+) -> jnp.ndarray:
     """(G,) bool: which goals the (offset) observation position is inside."""
     # obs[offset : offset+3], zero-padded so 2-D goals ignore the z term.
     p = jnp.concatenate([obs[offset : offset + 3], jnp.zeros((3,), obs.dtype)])[:3]
-    delta = (p[None, :] - g.pos) * g.dim_mask
+    pos = g.pos if goal_pos is None else goal_pos
+    delta = (p[None, :] - pos) * g.dim_mask
     dist2 = jnp.sum(delta * delta, axis=-1)
     return (dist2 <= g.threshold**2) & g.valid
 
@@ -150,6 +153,19 @@ class MazeTask(ABC):
     def sample_goals(self) -> bool:
         return False
 
+    def sample_goal_positions(self, key) -> jnp.ndarray:
+        """(G, 3) goal positions for one episode; used when
+        :meth:`sample_goals` is True.
+
+        The reference's goal-resampling hook was latent and mis-wired
+        (maze_env.py:375-376 calls a ``set_marker`` that looks up the wrong
+        site name, maze_env.py:386 vs :209); here resampled goals are
+        per-env state consumed by the reward/termination heads.
+        """
+        raise NotImplementedError(
+            "sample_goals() is True but sample_goal_positions is not defined"
+        )
+
     # -- host-side (numpy) API, kept for parity/inspection ----------------
     def termination(self, obs: np.ndarray) -> bool:
         o = np.asarray(obs)[self.OBS_OFFSET :]
@@ -179,26 +195,27 @@ class MazeTask(ABC):
         penalty = 0.0 if self.PENALTY is None else float(self.PENALTY)
         scale = float(self.scale)
 
-        def termination(obs: jnp.ndarray) -> jnp.ndarray:
-            return jnp.any(_goal_hits(goals, obs, offset))
+        def termination(obs: jnp.ndarray, goal_pos=None) -> jnp.ndarray:
+            return jnp.any(_goal_hits(goals, obs, offset, goal_pos))
 
         if reward_type == "none":
 
-            def reward(obs: jnp.ndarray) -> jnp.ndarray:
+            def reward(obs: jnp.ndarray, goal_pos=None) -> jnp.ndarray:
                 return jnp.zeros((), obs.dtype)
 
         elif reward_type == "dist":
 
-            def reward(obs: jnp.ndarray) -> jnp.ndarray:
+            def reward(obs: jnp.ndarray, goal_pos=None) -> jnp.ndarray:
+                pos = goals.pos if goal_pos is None else goal_pos
                 p = obs[offset : offset + 3]
                 p = jnp.concatenate([p, jnp.zeros((3,), obs.dtype)])[:3]
-                delta = (p - goals.pos[0]) * goals.dim_mask[0]
+                delta = (p - pos[0]) * goals.dim_mask[0]
                 return -jnp.sqrt(jnp.sum(delta * delta)) / scale
 
         elif reward_type == "goal":
 
-            def reward(obs: jnp.ndarray) -> jnp.ndarray:
-                hits = _goal_hits(goals, obs, offset)
+            def reward(obs: jnp.ndarray, goal_pos=None) -> jnp.ndarray:
+                hits = _goal_hits(goals, obs, offset, goal_pos)
                 first = jnp.argmax(hits)  # first hit wins (maze_task.py:357-360)
                 return jnp.where(
                     jnp.any(hits),

@@ -59,6 +59,44 @@ def test_top_down_view_obs():
     assert np.abs(view2 - np.asarray(view)).max() > 0.1
 
 
+def test_goal_resampling():
+    """Per-episode sampled goals: the fixed version of the reference's
+    latent sample_goals/set_marker hook."""
+    import jax
+    import jax.numpy as jnp
+
+    from mujoco_maze_tpu.envs.env import MazeEnvSpec
+    from mujoco_maze_tpu.models.point import PointRobot
+
+    class ResampledUMaze(GoalRewardUMaze):
+        def sample_goals(self):
+            return True
+
+        def sample_goal_positions(self, key):
+            xy = jax.random.uniform(key, (2,), minval=-2.0, maxval=2.0)
+            return jnp.concatenate([xy, jnp.zeros(1)])[None, :]  # (1, 3)
+
+    spec = MazeEnvSpec(PointRobot(), ResampledUMaze, maze_size_scaling=4.0)
+    s1, _ = spec.reset(jax.random.PRNGKey(0))
+    s2, _ = spec.reset(jax.random.PRNGKey(1))
+    assert s1.goal_pos is not None
+    assert np.abs(np.asarray(s1.goal_pos) - np.asarray(s2.goal_pos)).max() > 1e-3
+    # reward head follows the sampled goal: teleport onto it → terminated
+    gx, gy = float(s1.goal_pos[0, 0]), float(s1.goal_pos[0, 1])
+    st = s1._replace(qpos=s1.qpos.at[0].set(gx).at[1].set(gy))
+    res = spec.step(st, jnp.zeros(2))
+    assert bool(res.terminated)
+    assert float(res.reward) == 1.0
+    # batched autoreset resamples per env
+    import mujoco_maze_tpu.envs.batched as B
+
+    batch = B.BatchedMazeEnv(spec, num_envs=4)
+    state, _ = batch.reset(jax.random.PRNGKey(2))
+    assert state.goal_pos.shape == (4, 1, 3)
+    res = batch.step(state, jnp.zeros((4, 2)))
+    assert res.state.goal_pos.shape == (4, 1, 3)
+
+
 def test_top_down_view_sees_blocks():
     import jax
 

@@ -94,3 +94,33 @@ def test_kinematic_exactness_no_contact():
         [np.cos(ori) * 0.3, np.sin(ori) * 0.3, ori],
         rtol=1e-6,
     )
+
+
+def test_billiard_strike_golden():
+    """Directed strike scenario: the point drives through the ball.  The
+    soft-push model must reproduce MuJoCo's behavior class — a light nudge
+    (~1 m) that stops quickly — not plowing the ball across the maze.
+    Exact direction is aliasing-limited (one contact sample per teleport
+    step), so the bound is coarse."""
+    import os
+
+    path = os.path.join(GOLDEN_DIR, "PointBilliard-v0_strike.npz")
+    if not os.path.exists(path):
+        pytest.skip("strike golden missing")
+    g = np.load(path)
+    spec = mmt.make_spec("PointBilliard-v0")
+    state0, _ = spec.reset(jax.random.PRNGKey(0))
+    step = jax.jit(spec.step)
+    st = state0._replace(
+        qpos=jnp.asarray(g["reset_qpos"], jnp.float32),
+        qvel=jnp.asarray(g["reset_qvel"], jnp.float32),
+    )
+    for t in range(len(g["actions"])):
+        res = step(st, jnp.asarray(g["actions"][t], jnp.float32))
+        st = res.state
+    ball = np.asarray(spec.ball_runtimes[0].body_pos) + np.asarray(st.qpos)[3:5]
+    gold = g["ball_xy"][-1]
+    start = np.array([0.0, -3.0])
+    # both moved, in the same order of magnitude, and ours is within 1.5 of gold
+    assert 0.02 < np.linalg.norm(ball - start) < 2.5
+    assert np.linalg.norm(ball - gold) < 1.5

@@ -161,8 +161,11 @@ def build_point_world(env_id: str):
     return model, ms, det, ball_det, task, blocks, balls
 
 
-def rollout_point(env_id: str, seed: int, n_steps: int):
-    """Reference-semantics rollout; returns per-step arrays."""
+def rollout_point(env_id: str, seed: int, n_steps: int, action_fn=None):
+    """Reference-semantics rollout; returns per-step arrays.
+
+    ``action_fn(t, rng) -> (2,)`` overrides the random-action policy (used
+    for directed scenarios like striking the billiard ball)."""
     import mujoco
 
     model, ms, det, ball_det, task, blocks, balls = build_point_world(env_id)
@@ -191,7 +194,10 @@ def rollout_point(env_id: str, seed: int, n_steps: int):
         return [data.xpos[i][:2].copy() for i in ball_body_ids]
 
     for t in range(n_steps):
-        action = rng.uniform(-1, 1, 2) * np.array([1.0, 0.25])
+        if action_fn is not None:
+            action = np.asarray(action_fn(t, rng), dtype=np.float64)
+        else:
+            action = rng.uniform(-1, 1, 2) * np.array([1.0, 0.25])
         old_xy = data.qpos[:2].copy()
         old_balls = ball_positions()
         # PointEnv.step (point.py:44-61)
@@ -258,6 +264,20 @@ def main() -> None:
         path = os.path.join(GOLDEN_DIR, f"{env_id}_s{seed}.npz")
         np.savez_compressed(path, **out)
         print("wrote", path, out["qpos"].shape)
+
+    # directed scenario: drive north into the billiard ball, then stop —
+    # exercises point-ball contact transfer + ball rolling + wall bounce
+    def strike(t, rng):
+        if t < 3:
+            return (0.0, -np.pi / 6)  # turn toward -y
+        if t < 40:
+            return (1.0, 0.0)
+        return (0.0, 0.0)
+
+    out = rollout_point("PointBilliard-v0", 0, 120, action_fn=strike)
+    path = os.path.join(GOLDEN_DIR, "PointBilliard-v0_strike.npz")
+    np.savez_compressed(path, **out)
+    print("wrote", path, out["ball_xy"][-1])
 
 
 if __name__ == "__main__":
