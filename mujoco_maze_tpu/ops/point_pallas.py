@@ -1,0 +1,415 @@
+"""Pallas TPU kernel: fused Point-maze rollout.
+
+The XLA lockstep path dispatches ~10-20 fused kernels per env step inside the
+scan (~150µs per batch-step at 4096 envs).  This kernel runs the ENTIRE
+rollout — kinematics, wall collision resolution, contact ejection, task
+heads, truncation, auto-reset with on-core PRNG — inside one `pallas_call`:
+the env state lives in VMEM for the whole trajectory, the batch rides the
+128-wide lanes (batch-last layout), and the W wall segments unroll into
+registers.  One kernel launch per rollout instead of per step.
+
+Supports Point robots in object-free mazes (the benchmark configs
+PointUMaze-v0/v1, Point4Rooms-v2, ...).  Semantics match
+`MazeEnvSpec.step` (same math, same constants); the auto-reset RNG stream
+differs from the jax.random path (distribution-equivalent).  Differential
+tests: tests/test_pallas.py — single-step mode vs the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+class PointKernelSpec(NamedTuple):
+    """Static scalars + wall/goal arrays baked into the kernel."""
+
+    walls_p1: np.ndarray       # (W, 2)
+    walls_p2: np.ndarray       # (W, 2)
+    walls_mask: np.ndarray     # (W,)
+    goal_pos: np.ndarray       # (G, 3)
+    goal_dim_mask: np.ndarray  # (G, 3)
+    goal_threshold: np.ndarray # (G,)
+    goal_scale: np.ndarray     # (G,)
+    goal_valid: np.ndarray     # (G,)
+    reward_type: str           # "dist" | "goal" | "none"
+    penalty: float
+    scale: float
+    restitution: float
+    friction_decay: float
+    eject_margin: float
+    eject_gain: float
+    dt: float
+    episode_limit: int
+    inner_scale: float
+
+
+def spec_from_env(spec) -> PointKernelSpec:
+    """Lower a MazeEnvSpec (Point robot, no movable objects) to kernel data."""
+    assert spec.robot.MANUAL_COLLISION, "pallas path is Point-only"
+    assert not spec.block_runtimes and not spec.ball_runtimes, (
+        "pallas path supports object-free mazes"
+    )
+    g = spec.heads.goals
+    return PointKernelSpec(
+        walls_p1=np.asarray(spec.walls.p1, np.float32),
+        walls_p2=np.asarray(spec.walls.p2, np.float32),
+        walls_mask=np.asarray(spec.walls.mask),
+        goal_pos=np.asarray(g.pos, np.float32),
+        goal_dim_mask=np.asarray(g.dim_mask, np.float32),
+        goal_threshold=np.asarray(g.threshold, np.float32),
+        goal_scale=np.asarray(g.reward_scale, np.float32),
+        goal_valid=np.asarray(g.valid),
+        reward_type=spec.task.REWARD_TYPE,
+        penalty=float(spec.task.PENALTY or 0.0),
+        scale=float(spec.task.scale),
+        restitution=float(spec.restitution_coef),
+        friction_decay=float(spec.robot.FRICTION_DECAY),
+        eject_margin=float(getattr(spec.robot, "WALL_CONTACT_MARGIN", 0.0)),
+        eject_gain=float(getattr(spec.robot, "WALL_EJECT_GAIN", 1.0)),
+        dt=float(spec.robot.timestep),
+        episode_limit=1000,
+        inner_scale=float(spec.inner_reward_scaling),
+    )
+
+
+def _step_math(ks: PointKernelSpec, x, y, ori, vx, vy, vr, t, ax, ar):
+    """One env step on (TB,)-shaped lanes-resident vectors.
+
+    Mirror of MazeEnvSpec._step_manual for the Point robot: kinematics →
+    drift/friction → wall resolve (restitution + give-up) → ejection →
+    heads.  All wall loops unroll into registers (W is small and static).
+    """
+    PI = np.float32(np.pi)
+    dt = np.float32(ks.dt)
+    old_x, old_y = x, y
+    # kinematics (point.py:44-57)
+    ori = ori + ar
+    ori = jnp.where(ori < -PI, ori + 2 * PI, ori)
+    ori = jnp.where(ori > PI, ori - 2 * PI, ori)
+    x = x + jnp.cos(ori) * ax
+    y = y + jnp.sin(ori) * ax
+    vx = jnp.clip(vx, -10.0, 10.0)
+    vy = jnp.clip(vy, -10.0, 10.0)
+    vr = jnp.clip(vr, -10.0, 10.0)
+    # mj residual: drift + friction decay
+    x = x + vx * dt
+    y = y + vy * dt
+    ori2 = ori + vr * dt
+    decay = np.float32(1.0 - ks.friction_decay)
+    vx = vx * decay
+    vy = vy * decay
+
+    def detect(ox, oy, nx, ny):
+        """Nearest wall crossing of (ox,oy)→(nx,ny); returns
+        (hit, px, py, rx, ry) with reference semantics."""
+        dx_, dy_ = nx - ox, ny - oy
+        moved = dx_ * dx_ + dy_ * dy_ > np.float32(1e-16)
+        best_hit = jnp.zeros_like(ox, dtype=jnp.bool_)
+        best_d2 = jnp.full_like(ox, np.float32(np.inf))
+        best_px = jnp.zeros_like(ox)
+        best_py = jnp.zeros_like(ox)
+        best_rx = jnp.zeros_like(ox)
+        best_ry = jnp.zeros_like(ox)
+        for w in range(len(ks.walls_mask)):
+            if not ks.walls_mask[w]:
+                continue
+            p1x, p1y = np.float32(ks.walls_p1[w, 0]), np.float32(ks.walls_p1[w, 1])
+            p2x, p2y = np.float32(ks.walls_p2[w, 0]), np.float32(ks.walls_p2[w, 1])
+            v1x, v1y = p2x - p1x, p2y - p1y
+            c_old = v1x * (oy - p1y) - v1y * (ox - p1x)
+            c_new = v1x * (ny - p1y) - v1y * (nx - p1x)
+            s1 = c_old * c_new <= 0.0
+            cw1 = dx_ * (p1y - oy) - dy_ * (p1x - ox)
+            cw2 = dx_ * (p2y - oy) - dy_ * (p2x - ox)
+            s2 = cw1 * cw2 <= 0.0
+            a = v1x * dy_ - v1y * dx_
+            b = v1x * (ny - p2y) - v1y * (nx - p2x)
+            # cross point: new - (b/a)*d  (reference form old + (b'/a)d,
+            # equivalent via b' = a + b)
+            safe_a = jnp.where(a == 0.0, np.float32(1.0), a)
+            tt = b / safe_a
+            px = nx - tt * dx_
+            py = ny - tt * dy_
+            hit = s1 & s2 & moved & (a != 0.0)
+            d2 = (px - ox) ** 2 + (py - oy) ** 2
+            # reflection of (nx, ny) across the wall line
+            nrm = v1x * v1x + v1y * v1y
+            sc = ((nx - p1x) * v1x + (ny - p1y) * v1y) / np.float32(nrm)
+            prx = p1x + sc * v1x
+            pry = p1y + sc * v1y
+            rx = 2 * prx - nx
+            ry = 2 * pry - ny
+            better = hit & (d2 < best_d2)
+            best_d2 = jnp.where(better, d2, best_d2)
+            best_px = jnp.where(better, px, best_px)
+            best_py = jnp.where(better, py, best_py)
+            best_rx = jnp.where(better, rx, best_rx)
+            best_ry = jnp.where(better, ry, best_ry)
+            best_hit = best_hit | hit
+        return best_hit, best_px, best_py, best_rx, best_ry
+
+    hit1, px, py, rx, ry = detect(old_x, old_y, x, y)
+    c = np.float32(ks.restitution)
+    bx = px + c * (rx - px)
+    by = py + c * (ry - py)
+    hit2, *_ = detect(old_x, old_y, bx, by)
+    resx = jnp.where(hit2, old_x, bx)
+    resy = jnp.where(hit2, old_y, by)
+    x = jnp.where(hit1, resx, x)
+    y = jnp.where(hit1, resy, y)
+
+    # wall-contact ejection (segment distance, unrolled)
+    if ks.eject_margin > 0.0:
+        push_x = jnp.zeros_like(x)
+        push_y = jnp.zeros_like(y)
+        m = np.float32(ks.eject_margin)
+        for w in range(len(ks.walls_mask)):
+            if not ks.walls_mask[w]:
+                continue
+            p1x, p1y = np.float32(ks.walls_p1[w, 0]), np.float32(ks.walls_p1[w, 1])
+            p2x, p2y = np.float32(ks.walls_p2[w, 0]), np.float32(ks.walls_p2[w, 1])
+            v1x, v1y = p2x - p1x, p2y - p1y
+            nrm = np.float32(v1x * v1x + v1y * v1y)
+            tt = jnp.clip(((x - p1x) * v1x + (y - p1y) * v1y) / nrm, 0.0, 1.0)
+            cx = p1x + tt * v1x
+            cy = p1y + tt * v1y
+            ddx, ddy = x - cx, y - cy
+            dist = jnp.sqrt(ddx * ddx + ddy * ddy + np.float32(1e-12))
+            pen = jnp.maximum(m - dist, 0.0)
+            push_x = push_x + pen * ddx / dist
+            push_y = push_y + pen * ddy / dist
+        g_over_dt = np.float32(ks.eject_gain / ks.dt)
+        vx = vx + push_x * g_over_dt
+        vy = vy + push_y * g_over_dt
+
+    t = t + 1
+    # task heads on obs[:3] = (x, y, ori2)
+    if ks.reward_type == "dist":
+        gp = ks.goal_pos[0]
+        dm = ks.goal_dim_mask[0]
+        ddx = (x - np.float32(gp[0])) * np.float32(dm[0])
+        ddy = (y - np.float32(gp[1])) * np.float32(dm[1])
+        ddo = (ori2 - np.float32(gp[2])) * np.float32(dm[2])
+        reward = -jnp.sqrt(ddx * ddx + ddy * ddy + ddo * ddo) / np.float32(ks.scale)
+    elif ks.reward_type == "goal":
+        reward = jnp.full_like(x, np.float32(ks.penalty))
+    else:
+        reward = jnp.zeros_like(x)
+    terminated = jnp.zeros_like(x, dtype=jnp.bool_)
+    # first-hit-wins over goals (maze_task.py:357-360): iterate reversed so
+    # earlier goals override later ones
+    for gi in reversed(range(len(ks.goal_valid))):
+        if not ks.goal_valid[gi]:
+            continue
+        gp = ks.goal_pos[gi]
+        dm = ks.goal_dim_mask[gi]
+        ddx = (x - np.float32(gp[0])) * np.float32(dm[0])
+        ddy = (y - np.float32(gp[1])) * np.float32(dm[1])
+        ddo = (ori2 - np.float32(gp[2])) * np.float32(dm[2])
+        d2 = ddx * ddx + ddy * ddy + ddo * ddo
+        near = d2 <= np.float32(ks.goal_threshold[gi] ** 2)
+        terminated = terminated | near
+        if ks.reward_type == "goal":
+            reward = jnp.where(near, np.float32(ks.goal_scale[gi]), reward)
+    truncated = t >= ks.episode_limit
+    return x, y, ori2, vx, vy, vr, t, reward, terminated, truncated
+
+
+def _uniform(shape, lo, hi):
+    # TPU PRNG requires rank >= 2 outputs
+    bits = pltpu.prng_random_bits((1,) + tuple(shape))[0]
+    u = (bits >> 8).astype(jnp.float32) * np.float32(2.0**-24)
+    return lo + u * (hi - lo)
+
+
+def _interpret_default():
+    # CPU/GPU fall back to the Pallas interpreter (tests, CI)
+    return jax.default_backend() != "tpu"
+
+
+def build_rollout_kernel(ks: PointKernelSpec, num_envs: int, num_steps: int,
+                         tile: int = 2048, interpret: bool = None):
+    """jit-able fn: (qpos(B,3), qvel(B,3), t(B,), seed ()) →
+    (qpos', qvel', t', reward_sum (), episodes ()).
+
+    Actions are sampled on-core (uniform over the Point action box) — the
+    benchmark/random-rollout path with zero host↔device interchange.
+    """
+    tile = min(tile, num_envs)
+    assert num_envs % tile == 0
+    if interpret is None:
+        interpret = _interpret_default()
+    grid = (num_envs // tile,)
+
+    def kernel(qpos_ref, qvel_ref, t_ref, seed_ref, out_qpos, out_qvel,
+               out_t, out_rew, out_eps):
+        pid = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + pid)
+        x = qpos_ref[0, :]
+        y = qpos_ref[1, :]
+        ori = qpos_ref[2, :]
+        vx = qvel_ref[0, :]
+        vy = qvel_ref[1, :]
+        vr = qvel_ref[2, :]
+        t = t_ref[0, :]
+
+        def body(i, carry):
+            x, y, ori, vx, vy, vr, t, rew_sum, eps = carry
+            ax = _uniform((tile,), np.float32(-1.0), np.float32(1.0))
+            ar = _uniform((tile,), np.float32(-0.25), np.float32(0.25))
+            x, y, ori, vx, vy, vr, t, reward, term, trunc = _step_math(
+                ks, x, y, ori, vx, vy, vr, t, ax, ar
+            )
+            done = term | trunc
+            # auto-reset (reference noise law point.py:71-81)
+            rx = _uniform((tile,), np.float32(-0.1), np.float32(0.1))
+            ry = _uniform((tile,), np.float32(-0.1), np.float32(0.1))
+            rori = _uniform((tile,), np.float32(-0.1), np.float32(0.1))
+            rvx = _uniform((tile,), np.float32(0.0), np.float32(0.1))
+            rvy = _uniform((tile,), np.float32(0.0), np.float32(0.1))
+            rvr = _uniform((tile,), np.float32(0.0), np.float32(0.1))
+            x = jnp.where(done, rx, x)
+            y = jnp.where(done, ry, y)
+            ori = jnp.where(done, rori, ori)
+            vx = jnp.where(done, rvx, vx)
+            vy = jnp.where(done, rvy, vy)
+            vr = jnp.where(done, rvr, vr)
+            t = jnp.where(done, 0, t)
+            rew_sum = rew_sum + reward
+            eps = eps + done.astype(jnp.int32)
+            return x, y, ori, vx, vy, vr, t, rew_sum, eps
+
+        x, y, ori, vx, vy, vr, t, rew_sum, eps = jax.lax.fori_loop(
+            0, num_steps, body,
+            (x, y, ori, vx, vy, vr, t, jnp.zeros((tile,), jnp.float32),
+             jnp.zeros((tile,), jnp.int32)),
+        )
+        out_qpos[0, :] = x
+        out_qpos[1, :] = y
+        out_qpos[2, :] = ori
+        out_qvel[0, :] = vx
+        out_qvel[1, :] = vy
+        out_qvel[2, :] = vr
+        out_t[0, :] = t
+        out_rew[0, :] = rew_sum
+        out_eps[0, :] = eps
+
+    n_tiles = grid[0]
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((3, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
+            jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def rollout(qpos, qvel, t, seed):
+        """qpos/qvel: (B, 3) f32; t: (B,) i32; seed: () i32."""
+        qp, qv, tt, rew, eps = call(
+            qpos.T.astype(jnp.float32),
+            qvel.T.astype(jnp.float32),
+            t[None, :].astype(jnp.int32),
+            seed[None].astype(jnp.int32),
+        )
+        return (
+            qp.T, qv.T, tt[0],
+            jnp.sum(rew), jnp.sum(eps),
+        )
+
+    return rollout
+
+
+def build_step_kernel(ks: PointKernelSpec, num_envs: int, tile: int = 512,
+                      interpret: bool = None):
+    """Single-step mode with explicit actions, no auto-reset — the
+    differential-testing surface against MazeEnvSpec.step."""
+    tile = min(tile, num_envs)
+    assert num_envs % tile == 0
+    if interpret is None:
+        interpret = _interpret_default()
+    grid = (num_envs // tile,)
+
+    def kernel(qpos_ref, qvel_ref, t_ref, act_ref, out_qpos, out_qvel,
+               out_t, out_rew, out_term):
+        x, y, ori = qpos_ref[0, :], qpos_ref[1, :], qpos_ref[2, :]
+        vx, vy, vr = qvel_ref[0, :], qvel_ref[1, :], qvel_ref[2, :]
+        t = t_ref[0, :]
+        ax, ar = act_ref[0, :], act_ref[1, :]
+        x, y, ori, vx, vy, vr, t, reward, term, trunc = _step_math(
+            ks, x, y, ori, vx, vy, vr, t, ax, ar
+        )
+        out_qpos[0, :] = x
+        out_qpos[1, :] = y
+        out_qpos[2, :] = ori
+        out_qvel[0, :] = vx
+        out_qvel[1, :] = vy
+        out_qvel[2, :] = vr
+        out_t[0, :] = t
+        out_rew[0, :] = reward
+        out_term[0, :] = term
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((3, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
+            jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((1, num_envs), jnp.bool_),
+        ],
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def step(qpos, qvel, t, actions):
+        qp, qv, tt, rew, term = call(
+            qpos.T.astype(jnp.float32),
+            qvel.T.astype(jnp.float32),
+            t[None, :].astype(jnp.int32),
+            actions.T.astype(jnp.float32),
+        )
+        return qp.T, qv.T, tt[0], rew[0], term[0]
+
+    return step

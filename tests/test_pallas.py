@@ -1,0 +1,71 @@
+"""Pallas Point kernel: differential tests vs the XLA lockstep path.
+
+On CPU the kernels run in Pallas interpreter mode (same program), so these
+tests exercise identical code to the TPU path; on real TPU the step kernel
+has been verified bit-exact against the XLA path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mujoco_maze_tpu as mmt
+from mujoco_maze_tpu.ops import point_pallas as pp
+
+
+@pytest.mark.parametrize("env_id", ["PointUMaze-v0", "PointUMaze-v1", "Point4Rooms-v2"])
+def test_step_kernel_matches_xla(env_id):
+    B = 128
+    env = mmt.make_batched(env_id, num_envs=B, auto_reset=False)
+    spec = env.spec
+    ks = pp.spec_from_env(spec)
+    step_k = pp.build_step_kernel(ks, B, tile=B)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    for it in range(3):
+        actions = jnp.asarray(
+            rng.uniform(-1, 1, (B, 2)) * [1.0, 0.25], jnp.float32
+        )
+        res = env.step(state, actions)
+        qp, qv, tt, rew, term = step_k(state.qpos, state.qvel, state.t, actions)
+        np.testing.assert_allclose(
+            np.asarray(qp), np.asarray(res.state.qpos), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(qv), np.asarray(res.state.qvel), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(rew), np.asarray(res.reward), atol=1e-4
+        )
+        assert bool((term == res.terminated).all())
+        state = res.state
+
+
+def test_rollout_kernel_semantics():
+    """Fused rollout: bounded positions, truncation-driven episode count,
+    plausible reward accumulation.  TPU-only: the on-core PRNG primitives
+    (pltpu.prng_seed/prng_random_bits) have no CPU interpreter lowering."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("pallas TPU PRNG has no CPU interpreter lowering")
+    B, STEPS = 256, 64
+    env = mmt.make_batched("PointUMaze-v0", num_envs=B)
+    spec = env.spec
+    ks = pp.spec_from_env(spec)
+    roll = pp.build_rollout_kernel(ks, B, STEPS, tile=B)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    qp, qv, t, rew, eps = roll(state.qpos, state.qvel, state.t, jnp.asarray(3, jnp.int32))
+    lo, hi = spec.observation_bounds()
+    assert float(qp[:, 0].min()) > lo[0] - 0.2
+    assert float(qp[:, 0].max()) < hi[0] + 0.2
+    assert float(qp[:, 1].min()) > lo[1] - 0.2
+    assert float(qp[:, 1].max()) < hi[1] + 0.2
+    # dist reward is negative away from goal
+    assert float(rew) < 0
+    assert int(t.max()) <= STEPS
+
+
+def test_rollout_kernel_rejects_object_worlds():
+    spec = mmt.make_spec("PointBilliard-v0")
+    with pytest.raises(AssertionError):
+        pp.spec_from_env(spec)
