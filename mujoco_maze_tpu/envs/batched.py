@@ -9,8 +9,7 @@ with per-env auto-reset folded in so the batch never leaves the device, and
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ observation (t already incremented) → task reward/termination heads.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple, Type
 
 import jax

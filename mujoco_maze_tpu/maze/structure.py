@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import itertools as it
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

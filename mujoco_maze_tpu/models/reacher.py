@@ -9,8 +9,6 @@ untested (README.md:129-130); we keep full behavioral parity with its code.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..physics import engine
 from ..physics.model import HINGE, SLIDE, Actuator, Body, Geom, Joint, build_model
 from .swimmer import SwimmerRobot, _DEG

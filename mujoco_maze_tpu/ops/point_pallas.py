@@ -17,7 +17,6 @@ tests: tests/test_pallas.py — single-step mode vs the XLA path.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -9,7 +9,6 @@ computation, and optimization never leave the device.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

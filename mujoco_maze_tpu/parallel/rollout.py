@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..envs.batched import BatchedMazeEnv
 from ..envs.env import EnvState
-from .mesh import DATA_AXIS, env_sharding, shard_env_state
+from .mesh import env_sharding, shard_env_state
 
 
 @dataclass

@@ -13,8 +13,7 @@ compile surface exercised by ``__graft_entry__.dryrun_multichip``.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

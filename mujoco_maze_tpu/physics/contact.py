@@ -20,8 +20,7 @@ The TPU replacement for MuJoCo's collision pipeline + contact solver
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

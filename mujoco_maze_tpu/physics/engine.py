@@ -25,9 +25,7 @@ from .math3d import (
     force_cross,
     make_spatial_inertia,
     motion_cross,
-    quat_integrate,
     quat_mul,
-    quat_rotate,
     quat_to_mat,
     skew,
 )

@@ -11,7 +11,7 @@ engine folds into the step kernel.
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import Callable, List, NamedTuple, Optional, Tuple, Type
+from typing import Callable, List, NamedTuple, Optional, Type
 
 import jax.numpy as jnp
 import numpy as np

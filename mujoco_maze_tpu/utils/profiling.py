@@ -38,8 +38,6 @@ def measure_throughput(
     trace_dir: Optional[str] = None,
 ) -> ThroughputResult:
     """On-device scan rollout throughput (no trajectory egress)."""
-    import jax.numpy as jnp
-
     from .. import make_batched
 
     env = make_batched(env_id, num_envs=num_envs)
