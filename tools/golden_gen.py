@@ -139,6 +139,74 @@ def _add_world_geoms(root: ET.Element, ms: MazeStructure,
     return block_bodies, ball_bodies
 
 
+def _ant_skeleton() -> ET.Element:
+    """Ant robot model (content parity: assets/ant.xml)."""
+    root = ET.Element("mujoco")
+    ET.SubElement(root, "compiler", inertiafromgeom="true", angle="degree",
+                  coordinate="local")
+    ET.SubElement(root, "option", timestep="0.02", integrator="RK4")
+    default = ET.SubElement(root, "default")
+    ET.SubElement(default, "joint", limited="true", armature="1", damping="1")
+    ET.SubElement(default, "geom", condim="3", conaffinity="0", margin="0.01",
+                  friction="1 0.5 0.5", solref=".02 1", solimp=".8 .8 .01",
+                  rgba="0.8 0.6 0.4 1", density="5.0")
+    wb = ET.SubElement(root, "worldbody")
+    ET.SubElement(wb, "geom", name="floor", pos="0 0 0", size="40 40 40",
+                  type="plane", conaffinity="1", condim="3")
+    torso = ET.SubElement(wb, "body", name="torso", pos="0 0 0.75")
+    ET.SubElement(torso, "geom", name="torso_geom", type="sphere", size="0.25",
+                  pos="0 0 0")
+    ET.SubElement(torso, "joint", name="root", type="free", limited="false",
+                  pos="0 0 0", axis="0 0 1", margin="0.01", armature="0",
+                  damping="0")
+    legs = [
+        ("1", "0.2 0.2", "-1 1 0", "30 70"),
+        ("2", "-0.2 0.2", "1 1 0", "-70 -30"),
+        ("3", "-0.2 -0.2", "-1 1 0", "-70 -30"),
+        ("4", "0.2 -0.2", "1 1 0", "30 70"),
+    ]
+    for name, d, ankle_axis, ankle_range in legs:
+        dx, dy = (float(v) for v in d.split())
+        leg = ET.SubElement(torso, "body", name=f"leg_{name}", pos="0 0 0")
+        ET.SubElement(leg, "geom", name=f"aux_{name}_geom", type="capsule",
+                      size="0.08", fromto=f"0 0 0 {dx} {dy} 0")
+        aux = ET.SubElement(leg, "body", name=f"aux_{name}", pos=f"{dx} {dy} 0")
+        ET.SubElement(aux, "joint", name=f"hip_{name}", type="hinge",
+                      pos="0 0 0", axis="0 0 1", range="-30 30")
+        ET.SubElement(aux, "geom", name=f"leg_{name}_geom", type="capsule",
+                      size="0.08", fromto=f"0 0 0 {dx} {dy} 0")
+        foot = ET.SubElement(aux, "body", name=f"foot_{name}",
+                             pos=f"{dx} {dy} 0")
+        ET.SubElement(foot, "joint", name=f"ankle_{name}", type="hinge",
+                      pos="0 0 0", axis=ankle_axis, range=ankle_range)
+        ET.SubElement(foot, "geom", name=f"ankle_{name}_geom", type="capsule",
+                      size="0.08", fromto=f"0 0 0 {2*dx} {2*dy} 0")
+    act = ET.SubElement(root, "actuator")
+    for name in ("4", "1", "2", "3"):
+        ET.SubElement(act, "motor", joint=f"hip_{name}",
+                      ctrlrange="-30.0 30.0", ctrllimited="true")
+        ET.SubElement(act, "motor", joint=f"ankle_{name}",
+                      ctrlrange="-30.0 30.0", ctrllimited="true")
+    return root
+
+
+def build_ant_world(env_id: str):
+    """Composed ant maze world on real MuJoCo (reference semantics)."""
+    import mujoco
+
+    e = reg_entry(env_id)
+    assert e.robot_name == "Ant"
+    task = e.task_cls(e.maze_size_scaling)
+    ms = analyze_maze(task.create_maze(), e.maze_size_scaling, 0.5,
+                      task.PUT_SPIN_NEAR_AGENT)
+    ms = with_ball_size(ms, task.OBJECT_BALL_SIZE)
+    root = _ant_skeleton()
+    _add_world_geoms(root, ms, objball_type="freejoint")
+    xml = ET.tostring(root, encoding="unicode")
+    model = mujoco.MjModel.from_xml_string(xml)
+    return model, ms, task
+
+
 def build_point_world(env_id: str):
     """(mujoco model, MazeStructure, detector, objball detector, bodies)."""
     import mujoco
