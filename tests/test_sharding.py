@@ -73,6 +73,23 @@ def test_train_step_dp_tp(eight_devices, n_model):
     assert np.isfinite(float(metrics2.loss))
 
 
+def test_shardmap_rollout(eight_devices):
+    """Explicit shard_map rollout with hand-placed psum over the data axis."""
+    from mujoco_maze_tpu.parallel.shardmap_rollout import make_shardmap_rollout
+
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    env = mmt.make_batched("PointUMaze-v0", num_envs=32)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    state = mesh_lib.shard_env_state(state, mesh)
+    roll = make_shardmap_rollout(env, mesh, num_steps=20)
+    state2, rew, eps = roll(state, jax.random.PRNGKey(1))
+    assert state2.qpos.shape == (32, state.qpos.shape[1])
+    assert np.isfinite(float(rew))
+    # dist reward is strictly negative away from the goal
+    assert float(rew) < 0.0
+    assert int(eps) >= 0
+
+
 def test_tp_matches_single_device_numerics(eight_devices):
     """Tensor-parallel forward == replicated forward (GSPMD correctness)."""
     mesh1 = mesh_lib.make_mesh(n_data=8, n_model=1)
