@@ -111,3 +111,28 @@ def test_top_down_view_sees_blocks():
     state, obs = spec.reset(jax.random.PRNGKey(0))
     view = np.asarray(spec._top_down_view(state)).reshape(5, 5, 3)
     assert view[:, :, 2].sum() > 0.1  # movable block channel populated
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Env + trainer state checkpoint/resume (SURVEY §5 gap)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mujoco_maze_tpu.utils import checkpoint
+
+    batch = mmt.make_batched("PointUMaze-v0", num_envs=8)
+    state, _ = batch.reset(jax.random.PRNGKey(0))
+    res = batch.step(state, jnp.zeros((8, 2)))
+    path = str(tmp_path / "env_state.npz")
+    checkpoint.save(path, res.state)
+    restored = checkpoint.restore(path, res.state)
+    np.testing.assert_allclose(
+        np.asarray(restored.qpos), np.asarray(res.state.qpos)
+    )
+    assert int(restored.t[0]) == int(res.state.t[0])
+    # resuming stepping from the restored state is identical
+    res2a = batch.step(res.state, jnp.zeros((8, 2)))
+    res2b = batch.step(restored, jnp.zeros((8, 2)))
+    np.testing.assert_allclose(
+        np.asarray(res2a.obs), np.asarray(res2b.obs), atol=1e-7
+    )
