@@ -39,7 +39,7 @@ from .model import (
 CAPSULE_SAMPLES = 3
 # solver works on at most this many deepest candidates (plenty: a robot
 # touches ~10-20 surfaces at once)
-MAX_ACTIVE_CONTACTS = 48
+MAX_ACTIVE_CONTACTS = 256
 
 
 class ContactSet(NamedTuple):
@@ -359,19 +359,64 @@ def contact_qfrc(
                 outside[..., None], clamped, local - n_in * pen_in[..., None]
             )
             pos = bc[None] + surf_local
-            s_, b_ = len(idx), B
-            dists.append(dist.reshape(-1))
-            poss.append(pos.reshape(-1, 3))
-            normals.append(n.reshape(-1, 3))
-            bod1.append(np.repeat(cs.sph_body[idx], b_))
-            bod2.append(np.full(s_ * b_, -1, dtype=np.int32))
-            solref.append(np.repeat(cs.sph_solref[idx], b_, axis=0))
-            solimp.append(np.repeat(cs.sph_solimp[idx], b_, axis=0))
-            frics.append(np.repeat(cs.sph_friction[idx], b_))
-            margins.append(
-                np.repeat(cs.sph_margin[idx], b_)
-                + np.tile(cs.box_margin, s_)
-            )
+            s_ = len(idx)
+            # Per-sphere nearest-2 boxes via branch-free min chains: a
+            # sphere touches at most two wall boxes at once (a corner), so
+            # the remaining B-2 candidates can never carry force.  Avoids
+            # both the O(S·B) solver rows and a top-k sort (TPU sorts are
+            # slow).
+            bmarg = jnp.asarray(cs.box_margin, dtype)
+            eff = dist - bmarg[None, :]            # rank by margin-adjusted dist
+            INF = jnp.asarray(np.inf, dtype)
+            b1_d = jnp.full((s_,), INF, dtype)
+            b2_d = jnp.full((s_,), INF, dtype)
+            zeros3 = jnp.zeros((s_, 3), dtype)
+            b1_dist = jnp.zeros((s_,), dtype)
+            b2_dist = jnp.zeros((s_,), dtype)
+            b1_n = zeros3
+            b2_n = zeros3
+            b1_p = zeros3
+            b2_p = zeros3
+            b1_m = jnp.zeros((s_,), dtype)
+            b2_m = jnp.zeros((s_,), dtype)
+            for b in range(B):
+                cur_d = eff[:, b]
+                better1 = cur_d < b1_d
+                better2 = (~better1) & (cur_d < b2_d)
+                # demote old best to second where the new one wins
+                b2_d = jnp.where(better1, b1_d, jnp.where(better2, cur_d, b2_d))
+                b2_dist = jnp.where(
+                    better1, b1_dist, jnp.where(better2, dist[:, b], b2_dist)
+                )
+                b2_n = jnp.where(
+                    better1[:, None], b1_n,
+                    jnp.where(better2[:, None], n[:, b], b2_n),
+                )
+                b2_p = jnp.where(
+                    better1[:, None], b1_p,
+                    jnp.where(better2[:, None], pos[:, b], b2_p),
+                )
+                b2_m = jnp.where(
+                    better1, b1_m, jnp.where(better2, bmarg[b], b2_m)
+                )
+                b1_d = jnp.where(better1, cur_d, b1_d)
+                b1_dist = jnp.where(better1, dist[:, b], b1_dist)
+                b1_n = jnp.where(better1[:, None], n[:, b], b1_n)
+                b1_p = jnp.where(better1[:, None], pos[:, b], b1_p)
+                b1_m = jnp.where(better1, bmarg[b], b1_m)
+            sel = [(b1_dist, b1_n, b1_p, b1_m)]
+            if B > 1:
+                sel.append((b2_dist, b2_n, b2_p, b2_m))
+            for d_s, n_s, p_s, m_s in sel:
+                dists.append(d_s)
+                poss.append(p_s)
+                normals.append(n_s)
+                bod1.append(cs.sph_body[idx])
+                bod2.append(np.full(s_, -1, dtype=np.int32))
+                solref.append(cs.sph_solref[idx])
+                solimp.append(cs.sph_solimp[idx])
+                frics.append(cs.sph_friction[idx])
+                margins.append(jnp.asarray(cs.sph_margin[idx], dtype) + m_s)
 
     # -- dynamic sphere-sphere pairs -----------------------------------
     P = len(cs.pair_i)
@@ -441,7 +486,8 @@ def contact_qfrc(
     srf = np.concatenate(solref, axis=0)
     sim = np.concatenate(solimp, axis=0)
     mu = jnp.asarray(np.concatenate(frics), dtype)
-    margin = jnp.asarray(np.concatenate(margins), dtype)
+    # margins may be dynamic (nearest-box selection) — concat as jnp
+    margin = jnp.concatenate([jnp.asarray(m, dtype) for m in margins])
 
     # Top-K candidate selection: detection above is dense and cheap, but
     # Jacobians + solver sweeps are memory-bound in the candidate count —
