@@ -1,0 +1,874 @@
+"""Scalar-component ant dynamics (lane-friendly, Pallas-compatible).
+
+Specialization of the generic engine for the ant topology: free-root torso
++ 4 legs × (hip z-hinge, ankle diagonal-hinge), all math expressed over
+per-env lane vectors (no small-matrix ops, no gathers) so it runs inside a
+Pallas kernel with the batch on lanes.
+
+Conventions identical to physics/engine.py (MuJoCo parity): free-joint qvel
+is (linear world, angular body-frame); quaternions (w,x,y,z); hinges
+pre-multiply the accumulated world rotation.  Every stage is differentially
+validated against the generic engine in tests/test_ant_fast.py.
+
+State layout: q = (x, y, z, qw, qx, qy, qz, h1, a1, h2, a2, h3, a3, h4, a4)
+             v = (vx, vy, vz, wx, wy, wz, ḣ1, ȧ1, ..., ḣ4, ȧ4)
+Leg l ∈ {1..4} has aux offset d_l = (±0.2, ±0.2, 0) and ankle axis
+(∓1, ±1, 0)/√2 (ant.xml parity; see models/ant.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .swimmer_math import _chol5_solve as chol_solve  # generic n×n unrolled
+
+SQRT2INV = 1.0 / np.sqrt(2.0)
+
+# (sx, sy) per leg, ankle axis (ax, ay) unnormalized — models/ant.py legs
+LEGS = [
+    (+1.0, +1.0, -1.0, +1.0),
+    (-1.0, +1.0, +1.0, +1.0),
+    (-1.0, -1.0, -1.0, +1.0),
+    (+1.0, -1.0, +1.0, +1.0),
+]
+
+
+class AntConsts(NamedTuple):
+    """Static per-body constants from the built RigidModel."""
+
+    masses: np.ndarray        # (13,)
+    coms: np.ndarray          # (13, 3) body-frame com
+    inertias: np.ndarray      # (13, 3, 3) about com, body frame
+    armature: np.ndarray      # (14,)
+    damping: np.ndarray       # (14,)
+    hip_range: tuple          # (lo, hi) radians
+    ankle_ranges: np.ndarray  # (4, 2)
+    gear: float
+    ctrl_hi: float
+    act_dofadr: tuple         # ctrl index → dof (reference actuator order)
+    timestep: float
+    gravity: float
+
+
+def consts_from_model(model) -> AntConsts:
+    return AntConsts(
+        masses=np.asarray(model.body_mass, np.float64),
+        coms=np.asarray(model.body_com, np.float64),
+        inertias=np.asarray(model.body_inertia, np.float64),
+        armature=np.asarray(model.dof_armature, np.float64),
+        damping=np.asarray(model.dof_damping, np.float64),
+        hip_range=tuple(model.jnt_range[1]),
+        ankle_ranges=np.asarray(
+            [model.jnt_range[2 + 2 * l] for l in range(4)], np.float64
+        ),
+        gear=float(model.act_gear[0]),
+        ctrl_hi=float(model.act_ctrlrange[0][1]),
+        act_dofadr=tuple(int(a) for a in model.act_dofadr),
+        timestep=float(model.timestep),
+        gravity=9.81,
+    )
+
+
+class Vec3(NamedTuple):
+    x: object
+    y: object
+    z: object
+
+    def __add__(self, o):
+        return Vec3(self.x + o.x, self.y + o.y, self.z + o.z)
+
+    def __sub__(self, o):
+        return Vec3(self.x - o.x, self.y - o.y, self.z - o.z)
+
+    def scale(self, s):
+        return Vec3(self.x * s, self.y * s, self.z * s)
+
+    def dot(self, o):
+        return self.x * o.x + self.y * o.y + self.z * o.z
+
+    def cross(self, o):
+        return Vec3(
+            self.y * o.z - self.z * o.y,
+            self.z * o.x - self.x * o.z,
+            self.x * o.y - self.y * o.x,
+        )
+
+
+class Mat3(NamedTuple):
+    """Row-major 3x3 of lane scalars."""
+
+    xx: object; xy: object; xz: object
+    yx: object; yy: object; yz: object
+    zx: object; zy: object; zz: object
+
+    def mul_vec(self, v: Vec3) -> Vec3:
+        return Vec3(
+            self.xx * v.x + self.xy * v.y + self.xz * v.z,
+            self.yx * v.x + self.yy * v.y + self.yz * v.z,
+            self.zx * v.x + self.zy * v.y + self.zz * v.z,
+        )
+
+    def tmul_vec(self, v: Vec3) -> Vec3:
+        return Vec3(
+            self.xx * v.x + self.yx * v.y + self.zx * v.z,
+            self.xy * v.x + self.yy * v.y + self.zy * v.z,
+            self.xz * v.x + self.yz * v.y + self.zz * v.z,
+        )
+
+    def mul(self, o: "Mat3") -> "Mat3":
+        a = self
+        return Mat3(
+            a.xx * o.xx + a.xy * o.yx + a.xz * o.zx,
+            a.xx * o.xy + a.xy * o.yy + a.xz * o.zy,
+            a.xx * o.xz + a.xy * o.yz + a.xz * o.zz,
+            a.yx * o.xx + a.yy * o.yx + a.yz * o.zx,
+            a.yx * o.xy + a.yy * o.yy + a.yz * o.zy,
+            a.yx * o.xz + a.yy * o.yz + a.yz * o.zz,
+            a.zx * o.xx + a.zy * o.yx + a.zz * o.zx,
+            a.zx * o.xy + a.zy * o.yy + a.zz * o.zy,
+            a.zx * o.xz + a.zy * o.yz + a.zz * o.zz,
+        )
+
+    def col(self, j: int) -> Vec3:
+        return (
+            Vec3(self.xx, self.yx, self.zx),
+            Vec3(self.xy, self.yy, self.zy),
+            Vec3(self.xz, self.yz, self.zz),
+        )[j]
+
+
+def quat_to_mat3(qw, qx, qy, qz) -> Mat3:
+    return Mat3(
+        1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy),
+        2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx),
+        2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy),
+    )
+
+
+def axis_angle_mat3(axis: Vec3, angle) -> Mat3:
+    """Rodrigues rotation about a unit axis (lane scalars)."""
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    t = 1.0 - c
+    x, y, z = axis.x, axis.y, axis.z
+    return Mat3(
+        c + t * x * x, t * x * y - s * z, t * x * z + s * y,
+        t * x * y + s * z, c + t * y * y, t * y * z - s * x,
+        t * x * z - s * y, t * y * z + s * x, c + t * z * z,
+    )
+
+
+class AntFK(NamedTuple):
+    """World poses + joint axes/anchors; body order matches models/ant.py:
+    0 torso, then per leg l: (1+3l) legB, (2+3l) aux, (3+3l) foot."""
+
+    R: list          # 13 × Mat3
+    pos: list        # 13 × Vec3
+    com: list        # 13 × Vec3 (world com)
+    hip_axis: list   # 4 × Vec3 (world)
+    hip_anchor: list     # 4 × Vec3
+    ankle_axis: list     # 4 × Vec3
+    ankle_anchor: list   # 4 × Vec3
+
+
+def fk_ant(ac: AntConsts, q) -> AntFK:
+    """q: tuple of 15 lane scalars."""
+    x, y, z, qw, qx, qy, qz = q[:7]
+    R0 = quat_to_mat3(qw, qx, qy, qz)
+    p0 = Vec3(x, y, z)
+    R = [R0]
+    pos = [p0]
+    hip_axis, hip_anchor, ankle_axis, ankle_anchor = [], [], [], []
+    for l, (sx, sy, ax_, ay_) in enumerate(LEGS):
+        h = q[7 + 2 * l]
+        a = q[8 + 2 * l]
+        d = Vec3(
+            jnp.full_like(x, 0.2 * sx), jnp.full_like(x, 0.2 * sy),
+            jnp.zeros_like(x),
+        )
+        # leg body: welded to torso (identity offset)
+        R.append(R0)
+        pos.append(p0)
+        # aux body: offset d in torso frame, hip hinge about torso z-axis
+        anchor_h = p0 + R0.mul_vec(d)
+        w_h = R0.col(2)
+        Rh = axis_angle_mat3(w_h, h)
+        R_aux = Rh.mul(R0)
+        p_aux = anchor_h  # jnt_pos = 0 → body origin is the anchor
+        R.append(R_aux)
+        pos.append(p_aux)
+        # foot body: offset d in aux frame, ankle hinge about (ax, ay, 0)/√2
+        anchor_a = p_aux + R_aux.mul_vec(d)
+        axis_local = Vec3(
+            jnp.full_like(x, ax_ * SQRT2INV), jnp.full_like(x, ay_ * SQRT2INV),
+            jnp.zeros_like(x),
+        )
+        w_a = R_aux.mul_vec(axis_local)
+        Ra = axis_angle_mat3(w_a, a)
+        R_foot = Ra.mul(R_aux)
+        p_foot = anchor_a
+        R.append(R_foot)
+        pos.append(p_foot)
+        hip_axis.append(w_h)
+        hip_anchor.append(anchor_h)
+        ankle_axis.append(w_a)
+        ankle_anchor.append(anchor_a)
+    com = []
+    for k in range(13):
+        c = ac.coms[k]
+        cl = Vec3(
+            jnp.full_like(x, c[0]), jnp.full_like(x, c[1]), jnp.full_like(x, c[2])
+        )
+        com.append(pos[k] + R[k].mul_vec(cl))
+    return AntFK(R, pos, com, hip_axis, hip_anchor, ankle_axis, ankle_anchor)
+
+
+# body index helpers
+def _leg_bodies(l: int):
+    return (1 + 3 * l, 2 + 3 * l, 3 + 3 * l)  # legB (welded), aux, foot
+
+
+def _dofs_of_body(k: int):
+    """dofs (v-layout) moving body k: free 0-5 always; leg dofs as below."""
+    dofs = [0, 1, 2, 3, 4, 5]
+    if k == 0:
+        return dofs
+    l = (k - 1) // 3
+    kind = (k - 1) % 3
+    if kind >= 1:
+        dofs.append(6 + 2 * l)      # hip moves aux + foot
+    if kind == 2:
+        dofs.append(7 + 2 * l)      # ankle moves foot
+    return dofs
+
+
+def _zero3(like):
+    z = jnp.zeros_like(like)
+    return Vec3(z, z, z)
+
+
+def body_dof_jacobians(fk: AntFK, k: int, point: Vec3):
+    """(W_d, J_d) per dof d for the velocity of ``point`` on body k.
+
+    W_d: world angular basis (Vec3 or None); J_d: linear velocity basis.
+    """
+    like = point.x
+    out = {}
+    R0 = fk.R[0]
+    p0 = fk.pos[0]
+    one = jnp.ones_like(like)
+    zero = jnp.zeros_like(like)
+    out[0] = (None, Vec3(one, zero, zero))
+    out[1] = (None, Vec3(zero, one, zero))
+    out[2] = (None, Vec3(zero, zero, one))
+    rel0 = point - p0
+    for j in range(3):
+        w = R0.col(j)
+        out[3 + j] = (w, w.cross(rel0))
+    if k != 0:
+        l = (k - 1) // 3
+        kind = (k - 1) % 3
+        if kind >= 1:
+            w = fk.hip_axis[l]
+            out[6 + 2 * l] = (w, w.cross(point - fk.hip_anchor[l]))
+        if kind == 2:
+            w = fk.ankle_axis[l]
+            out[7 + 2 * l] = (w, w.cross(point - fk.ankle_anchor[l]))
+    return out
+
+
+def mass_matrix(ac: AntConsts, fk: AntFK):
+    """14x14 list-of-lists of lane scalars (Jacobian form)."""
+    like = fk.pos[0].x
+    n = 14
+    M = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            M[i][j] = jnp.zeros_like(like)
+    for k in range(13):
+        m = float(ac.masses[k])
+        # world inertia Iw = R Ic Rᵀ
+        Ic = ac.inertias[k]
+        R = fk.R[k]
+        Icm = Mat3(*[
+            float(Ic[r, c]) * jnp.ones_like(like)
+            for r in range(3) for c in range(3)
+        ])
+        Iw = R.mul(Icm).mul(
+            Mat3(R.xx, R.yx, R.zx, R.xy, R.yy, R.zy, R.xz, R.yz, R.zz)
+        )
+        jac = body_dof_jacobians(fk, k, fk.com[k])
+        dofs = _dofs_of_body(k)
+        cache = {}
+        for d in dofs:
+            W, J = jac[d]
+            IwW = Iw.mul_vec(W) if W is not None else None
+            cache[d] = (W, J, IwW)
+        for ii, d1 in enumerate(dofs):
+            W1, J1, IwW1 = cache[d1]
+            for d2 in dofs[ii:]:
+                W2, J2, _ = cache[d2]
+                term = J1.dot(J2) * m
+                if W1 is not None and W2 is not None:
+                    term = term + W2.dot(IwW1)
+                lo, hi = min(d1, d2), max(d1, d2)
+                M[lo][hi] = M[lo][hi] + term
+    for i in range(n):
+        M[i][i] = M[i][i] + float(ac.armature[i])
+        for j in range(i):
+            M[i][j] = M[j][i]
+    return M
+
+
+def _motion_cross(w1: Vec3, v1: Vec3, w2: Vec3, v2: Vec3):
+    """Spatial motion cross [(w1,v1) ×ₘ (w2,v2)] (engine parity)."""
+    return (
+        w1.cross(w2),
+        Vec3(
+            w1.y * v2.z - w1.z * v2.y + v1.y * w2.z - v1.z * w2.y,
+            w1.z * v2.x - w1.x * v2.z + v1.z * w2.x - v1.x * w2.z,
+            w1.x * v2.y - w1.y * v2.x + v1.x * w2.y - v1.y * w2.x,
+        ),
+    )
+
+
+def rne_bias(ac: AntConsts, fk: AntFK, v):
+    """qfrc_bias (gravity + velocity products), scalar port of
+    physics/engine.py kin_dyn + rne_bias for the ant topology."""
+    like = fk.pos[0].x
+    zero3 = _zero3(like)
+    vx, vy, vz, wx, wy, wz = v[:6]
+    R0 = fk.R[0]
+    p0 = fk.pos[0]
+
+    # cdof rows (world origin): (omega_dir, vel_dir)
+    cdof = {}
+    one = jnp.ones_like(like)
+    z = jnp.zeros_like(like)
+    cdof[0] = (zero3, Vec3(one, z, z))
+    cdof[1] = (zero3, Vec3(z, one, z))
+    cdof[2] = (zero3, Vec3(z, z, one))
+    for j in range(3):
+        a = R0.col(j)
+        cdof[3 + j] = (a, p0.cross(a))
+    for l in range(4):
+        a = fk.hip_axis[l]
+        cdof[6 + 2 * l] = (a, fk.hip_anchor[l].cross(a))
+        a = fk.ankle_axis[l]
+        cdof[7 + 2 * l] = (a, fk.ankle_anchor[l].cross(a))
+
+    # torso velocity + free-joint cdofdot (engine rules: lin rows zero;
+    # angular rows use the body's FULL velocity)
+    v_lin_partial = Vec3(vx, vy, vz)
+    w_torso = zero3
+    for j in range(3):
+        w_torso = w_torso + cdof[3 + j][0].scale(v[3 + j])
+    v_torso = (w_torso, v_lin_partial + Vec3(*[
+        sum(cdof[3 + j][1].__getattribute__(ax) * v[3 + j] for j in range(3))
+        for ax in ("x", "y", "z")
+    ]))
+    cdofdot = {0: (zero3, zero3), 1: (zero3, zero3), 2: (zero3, zero3)}
+    for j in range(3):
+        cdofdot[3 + j] = _motion_cross(*v_torso, *cdof[3 + j])
+    # leg joints: cdofdot uses velocity BEFORE the joint (its parent body)
+    body_vel = [v_torso]
+    for l in range(4):
+        hipd, ankd = 6 + 2 * l, 7 + 2 * l
+        legb = v_torso
+        cdofdot[hipd] = _motion_cross(*legb, *cdof[hipd])
+        w_aux = legb[0] + cdof[hipd][0].scale(v[hipd])
+        v_aux = (w_aux, legb[1] + cdof[hipd][1].scale(v[hipd]))
+        cdofdot[ankd] = _motion_cross(*v_aux, *cdof[ankd])
+        w_f = v_aux[0] + cdof[ankd][0].scale(v[ankd])
+        v_foot = (w_f, v_aux[1] + cdof[ankd][1].scale(v[ankd]))
+        body_vel.extend([legb, v_aux, v_foot])
+
+    # cacc per body: a0 = (0, +g ẑ) [fictitious base acc], plus cdofdot·qdot
+    g = float(ac.gravity)
+    a0 = (zero3, Vec3(z, z, jnp.full_like(like, g)))
+    cacc = [None] * 13
+    torso_acc = a0
+    for j in range(3):
+        torso_acc = (
+            torso_acc[0] + cdofdot[3 + j][0].scale(v[3 + j]),
+            torso_acc[1] + cdofdot[3 + j][1].scale(v[3 + j]),
+        )
+    cacc[0] = torso_acc
+    for l in range(4):
+        hipd, ankd = 6 + 2 * l, 7 + 2 * l
+        b = _leg_bodies(l)
+        cacc[b[0]] = torso_acc
+        aux_acc = (
+            torso_acc[0] + cdofdot[hipd][0].scale(v[hipd]),
+            torso_acc[1] + cdofdot[hipd][1].scale(v[hipd]),
+        )
+        cacc[b[1]] = aux_acc
+        cacc[b[2]] = (
+            aux_acc[0] + cdofdot[ankd][0].scale(v[ankd]),
+            aux_acc[1] + cdofdot[ankd][1].scale(v[ankd]),
+        )
+
+    # spatial force per body: f = I a + v ×* (I v)
+    def spatial_I_mul(k, mot):
+        alpha, a_lin = mot
+        m = float(ac.masses[k])
+        c = fk.com[k]
+        Ic = ac.inertias[k]
+        R = fk.R[k]
+        Icm = Mat3(*[
+            float(Ic[r, cidx]) * jnp.ones_like(like)
+            for r in range(3) for cidx in range(3)
+        ])
+        Iw = R.mul(Icm).mul(
+            Mat3(R.xx, R.yx, R.zx, R.xy, R.yy, R.zy, R.xz, R.yz, R.zz)
+        )
+        # Io α = Iw α + m c × (c × α) ... Io = Iw − m c× c× (world, origin)
+        IwA = Iw.mul_vec(alpha)
+        moment = IwA - c.cross(c.cross(alpha)).scale(m) + c.cross(a_lin).scale(m)
+        force = (a_lin - c.cross(alpha)).scale(m)
+        return moment, force
+
+    def force_cross(mot, frc):
+        w, vl = mot
+        mang, mlin = frc
+        return (w.cross(mang) + vl.cross(mlin), w.cross(mlin))
+
+    cfrc = []
+    for k in range(13):
+        Ia = spatial_I_mul(k, cacc[k])
+        Iv = spatial_I_mul(k, body_vel[k])
+        vxf = force_cross(body_vel[k], Iv)
+        cfrc.append((Ia[0] + vxf[0], Ia[1] + vxf[1]))
+
+    # subtree accumulation: foot→aux→legB, all→torso
+    sub = [cfrc[k] for k in range(13)]
+    for l in range(4):
+        b = _leg_bodies(l)
+        sub[b[1]] = (sub[b[1]][0] + sub[b[2]][0], sub[b[1]][1] + sub[b[2]][1])
+        sub[b[0]] = (sub[b[0]][0] + sub[b[1]][0], sub[b[0]][1] + sub[b[1]][1])
+        sub[0] = (sub[0][0] + sub[b[0]][0], sub[0][1] + sub[b[0]][1])
+
+    bias = [None] * 14
+    for d in range(6):
+        wdir, vdir = cdof[d]
+        bias[d] = wdir.dot(sub[0][0]) + vdir.dot(sub[0][1])
+    for l in range(4):
+        b = _leg_bodies(l)
+        f_aux = (sub[b[1]][0], sub[b[1]][1])   # aux subtree (aux + foot)
+        f_foot = (cfrc[b[2]][0], cfrc[b[2]][1])
+        wdir, vdir = cdof[6 + 2 * l]
+        bias[6 + 2 * l] = wdir.dot(f_aux[0]) + vdir.dot(f_aux[1])
+        wdir, vdir = cdof[7 + 2 * l]
+        bias[7 + 2 * l] = wdir.dot(f_foot[0]) + vdir.dot(f_foot[1])
+    return bias
+
+
+class AntWorld(NamedTuple):
+    """Static maze collision data for the ant kernel."""
+
+    box_center: np.ndarray   # (B, 3) static AABBs (walls + platforms)
+    box_half: np.ndarray     # (B, 3)
+    box_margin: np.ndarray   # (B,)
+    floor_margin: float
+    sph_body: np.ndarray     # (S,) test-sphere body index
+    sph_local: np.ndarray    # (S, 3)
+    sph_radius: np.ndarray   # (S,)
+    sph_margin: np.ndarray   # (S,)
+    friction: float
+    solimp: tuple            # (d0, dmax, width)
+    solref_tc: float         # clamped time constant
+    n_near_boxes: int        # torso-proximity box prune count
+
+
+def world_from_spec(spec, n_near_boxes: int = 4) -> AntWorld:
+    cs = spec.contact_set
+    g0 = spec.dynamic_model.geoms[0][1]
+    tc = max(g0.solref[0], 2.0 * spec.robot.timestep)
+    return AntWorld(
+        box_center=np.asarray(cs.box_center, np.float64),
+        box_half=np.asarray(cs.box_half, np.float64),
+        box_margin=np.asarray(cs.box_margin, np.float64),
+        floor_margin=float(cs.floor_margin),
+        sph_body=np.asarray(cs.sph_body, np.int32),
+        sph_local=np.asarray(cs.sph_local, np.float64),
+        sph_radius=np.asarray(cs.sph_radius, np.float64),
+        sph_margin=np.asarray(cs.sph_margin, np.float64),
+        friction=float(g0.friction[0]),
+        solimp=tuple(g0.solimp),
+        solref_tc=tc,
+        n_near_boxes=min(n_near_boxes, len(cs.box_center)),
+    )
+
+
+def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK):
+    """Detect candidate contacts; returns list of
+    (body, point Vec3, normal Vec3, dist, margin) lane entries."""
+    like = fk.pos[0].x
+    rows = []
+    # sphere world centers
+    centers = []
+    for s in range(len(aw.sph_body)):
+        k = int(aw.sph_body[s])
+        lc = aw.sph_local[s]
+        lv = Vec3(
+            jnp.full_like(like, float(lc[0])), jnp.full_like(like, float(lc[1])),
+            jnp.full_like(like, float(lc[2])),
+        )
+        centers.append(fk.pos[k] + fk.R[k].mul_vec(lv))
+    # floor contacts
+    up = Vec3(jnp.zeros_like(like), jnp.zeros_like(like), jnp.ones_like(like))
+    for s, c in enumerate(centers):
+        r = float(aw.sph_radius[s])
+        dist = c.z - r
+        p = Vec3(c.x, c.y, c.z - r)
+        rows.append((int(aw.sph_body[s]), p, up, dist,
+                     float(aw.sph_margin[s]) + aw.floor_margin))
+    B = len(aw.box_center)
+    if B == 0:
+        return rows
+    # torso-proximity prune: nearest n boxes to the torso (the ant spans
+    # ~1.5 m << cell size, so its spheres can only touch those)
+    NB = aw.n_near_boxes
+    torso = fk.pos[0]
+    INF = jnp.full_like(like, np.inf)
+    near = [
+        dict(d=INF, cx=like * 0, cy=like * 0, cz=like * 0,
+             hx=like * 0, hy=like * 0, hz=like * 0, m=like * 0)
+        for _ in range(NB)
+    ]
+    for b in range(B):
+        bc = aw.box_center[b]
+        bh = aw.box_half[b]
+        dx = jnp.maximum(jnp.abs(torso.x - bc[0]) - bh[0], 0.0)
+        dy = jnp.maximum(jnp.abs(torso.y - bc[1]) - bh[1], 0.0)
+        dz = jnp.maximum(jnp.abs(torso.z - bc[2]) - bh[2], 0.0)
+        d = dx * dx + dy * dy + dz * dz
+        cur = dict(
+            d=d,
+            cx=jnp.full_like(like, float(bc[0])), cy=jnp.full_like(like, float(bc[1])),
+            cz=jnp.full_like(like, float(bc[2])),
+            hx=jnp.full_like(like, float(bh[0])), hy=jnp.full_like(like, float(bh[1])),
+            hz=jnp.full_like(like, float(bh[2])),
+            m=jnp.full_like(like, float(aw.box_margin[b])),
+        )
+        # insertion into the sorted near-list (branch-free)
+        for slot in range(NB):
+            better = cur["d"] < near[slot]["d"]
+            new_slot = {
+                key: jnp.where(better, cur[key], near[slot][key])
+                for key in cur
+            }
+            cur = {
+                key: jnp.where(better, near[slot][key], cur[key])
+                for key in cur
+            }
+            near[slot] = new_slot
+    # per sphere vs each near box: sphere-AABB contact, keeping only the
+    # two nearest per sphere (a sphere touches at most two boxes at a
+    # corner) — branch-free min chains
+    for s, c in enumerate(centers):
+        r = float(aw.sph_radius[s])
+        body = int(aw.sph_body[s])
+        sm = float(aw.sph_margin[s])
+        cand = []
+        for slot in range(NB):
+            nb = near[slot]
+            lx = c.x - nb["cx"]
+            ly = c.y - nb["cy"]
+            lz = c.z - nb["cz"]
+            clx = jnp.clip(lx, -nb["hx"], nb["hx"])
+            cly = jnp.clip(ly, -nb["hy"], nb["hy"])
+            clz = jnp.clip(lz, -nb["hz"], nb["hz"])
+            dxo = lx - clx
+            dyo = ly - cly
+            dzo = lz - clz
+            d_out = jnp.sqrt(dxo * dxo + dyo * dyo + dzo * dzo + 1e-12)
+            outside = d_out > 1e-6
+            # inside: min-exit axis (branch-free)
+            ex = nb["hx"] - jnp.abs(lx)
+            ey = nb["hy"] - jnp.abs(ly)
+            ez = nb["hz"] - jnp.abs(lz)
+            mmin = jnp.minimum(jnp.minimum(ex, ey), ez)
+            is_x = ex <= jnp.minimum(ey, ez)
+            is_y = (~is_x) & (ey <= ez)
+            is_z = (~is_x) & (~is_y)
+            sgnx = jnp.where(lx >= 0, 1.0, -1.0)
+            sgny = jnp.where(ly >= 0, 1.0, -1.0)
+            sgnz = jnp.where(lz >= 0, 1.0, -1.0)
+            nix = jnp.where(is_x, sgnx, 0.0)
+            niy = jnp.where(is_y, sgny, 0.0)
+            niz = jnp.where(is_z, sgnz, 0.0)
+            dist = jnp.where(outside, d_out - r, -mmin - r)
+            nx = jnp.where(outside, dxo / d_out, nix)
+            ny = jnp.where(outside, dyo / d_out, niy)
+            nz = jnp.where(outside, dzo / d_out, niz)
+            px = nb["cx"] + jnp.where(outside, clx, lx - nix * (-mmin))
+            py = nb["cy"] + jnp.where(outside, cly, ly - niy * (-mmin))
+            pz = nb["cz"] + jnp.where(outside, clz, lz - niz * (-mmin))
+            cand.append((dist - nb["m"], Vec3(px, py, pz),
+                         Vec3(nx, ny, nz), dist, sm + nb["m"]))
+        if len(cand) <= 2:
+            for _, p, nrm, dist, marg in cand:
+                rows.append((body, p, nrm, dist, marg))
+        else:
+            like0 = cand[0][0]
+            INFc = jnp.full_like(like0, np.inf)
+            best = [INFc, _zero3(like0), _zero3(like0), like0 * 0, like0 * 0]
+            second = [INFc, _zero3(like0), _zero3(like0), like0 * 0, like0 * 0]
+            for eff, p, nrm, dist, marg in cand:
+                m_arr = (like0 * 0 + marg if isinstance(marg, jax.Array)
+                         else like0 * 0 + float(marg))
+                cur = [eff, p, nrm, dist, m_arr]
+                b1 = cur[0] < best[0]
+                b2 = (~b1) & (cur[0] < second[0])
+
+                def pick(cond, a, b_):
+                    if isinstance(a, Vec3):
+                        return Vec3(
+                            jnp.where(cond, a.x, b_.x),
+                            jnp.where(cond, a.y, b_.y),
+                            jnp.where(cond, a.z, b_.z),
+                        )
+                    return jnp.where(cond, a, b_)
+
+                new_second = [
+                    pick(b1, bb, pick(b2, cc, ss))
+                    for bb, cc, ss in zip(best, cur, second)
+                ]
+                best = [pick(b1, cc, bb) for cc, bb in zip(cur, best)]
+                second = new_second
+            for sel in (best, second):
+                rows.append((body, sel[1], sel[2], sel[3], sel[4]))
+    return rows
+
+
+def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
+                solver_iters: int = 6):
+    """qacc (tuple of 14 lane scalars) with contacts + limits."""
+    like = q[0]
+    fk = fk_ant(ac, q)
+    M = mass_matrix(ac, fk)
+    bias = rne_bias(ac, fk, v)
+    tau = [jnp.zeros_like(like) for _ in range(14)]
+    for u in range(8):
+        c = jnp.clip(ctrl[u], -ac.ctrl_hi, ac.ctrl_hi)
+        dof = ac.act_dofadr[u]
+        tau[dof] = tau[dof] + float(ac.gear) * c
+    for d in range(14):
+        tau[d] = tau[d] - float(ac.damping[d]) * v[d]
+
+    rhs0 = [tau[i] - bias[i] for i in range(14)]
+    qacc0, L = chol_solve(M, rhs0)
+
+    # M⁻¹ columns needed: limited dofs (6..13) + contact rows use full Minv
+    eye_cols = []
+    for d in range(14):
+        e = [jnp.full_like(like, 1.0 if i == d else 0.0) for i in range(14)]
+        col, _ = chol_solve(M, e)
+        eye_cols.append(col)  # Minv[:, d]
+
+    f_con = [jnp.zeros_like(like) for _ in range(14)]
+
+    # joint limits (engine.limit_force parity)
+    tc = float(max(0.02, 2.0 * ac.timestep))
+    d0l, dmaxl, widthl = 0.9, 0.95, 0.001
+    b_imp_l = 2.0 / (dmaxl * tc)
+    ranges = [ac.hip_range if u % 2 == 0 else tuple(ac.ankle_ranges[u // 2])
+              for u in range(8)]
+    for u in range(8):
+        dof = 6 + u
+        lo, hi = ranges[u]
+        qd = q[7 + u]
+        vd = v[dof]
+        a0 = qacc0[dof]
+        m_eff = 1.0 / jnp.maximum(eye_cols[dof][dof], 1e-12)
+        for sign, viol in (
+            (1.0, jnp.maximum(qd - hi, 0.0)),
+            (-1.0, jnp.maximum(lo - qd, 0.0)),
+        ):
+            active = viol > 0
+            dimp = d0l + (dmaxl - d0l) * jnp.clip(viol / widthl, 0.0, 1.0)
+            k_imp = dimp / (dmaxl * dmaxl * tc * tc)
+            aref = -b_imp_l * (sign * vd) - k_imp * viol
+            f_out = m_eff * dimp * (aref - sign * a0)
+            f_out = jnp.minimum(f_out, 0.0)
+            f_con[dof] = f_con[dof] + jnp.where(active, sign * f_out, 0.0)
+
+    # contacts
+    rows = _contact_rows(ac, aw, fk)
+    if rows:
+        d0c, dmaxc, widthc = aw.solimp
+        tcc = aw.solref_tc
+        b_imp = 2.0 / (dmaxc * tcc)
+        mu = aw.friction
+        # per-contact data: J rows (normal + 2 tangents) as sparse dof dicts
+        con = []
+        for body, p, nrm, dist, margin in rows:
+            # tangent frame
+            use_x = jnp.abs(nrm.x) < 0.5
+            ref = Vec3(jnp.where(use_x, 1.0, 0.0), jnp.where(use_x, 0.0, 1.0),
+                       jnp.zeros_like(like))
+            t1 = nrm.cross(ref)
+            t1n = jnp.sqrt(t1.dot(t1) + 1e-12)
+            t1 = Vec3(t1.x / t1n, t1.y / t1n, t1.z / t1n)
+            t2 = nrm.cross(t1)
+            jac = body_dof_jacobians(fk, body, p)
+            dofs = _dofs_of_body(body)
+
+            def jrow(direction):
+                row = {}
+                for d in dofs:
+                    W, J = jac[d]
+                    row[d] = J.dot(direction)
+                return row
+
+            con.append(dict(
+                dist=dist, margin=margin,
+                Jn=jrow(nrm), Jt1=jrow(t1), Jt2=jrow(t2), dofs=dofs,
+            ))
+
+        def minv_mul(vec14):
+            out = []
+            for i in range(14):
+                s = jnp.zeros_like(like)
+                for j in range(14):
+                    s = s + eye_cols[j][i] * vec14[j]
+                out.append(s)
+            return out
+
+        def sparse_dot(row, vec14):
+            s = jnp.zeros_like(like)
+            for d, val in row.items():
+                s = s + val * vec14[d]
+            return s
+
+        # per-row A = J Minv Jᵀ via the row's sparse dof support
+        all_rows = []
+        for c in con:
+            active = c["dist"] < c["margin"]
+            r = c["dist"] - c["margin"]
+            imp = d0c + (dmaxc - d0c) * jnp.clip(-r / widthc, 0.0, 1.0)
+            k_imp = imp / (dmaxc * dmaxc * tcc * tcc)
+            for kind, row in (("n", c["Jn"]), ("t1", c["Jt1"]), ("t2", c["Jt2"])):
+                A = jnp.zeros_like(like)
+                for d1, v1 in row.items():
+                    for d2, v2 in row.items():
+                        A = A + v1 * eye_cols[d2][d1] * v2
+                A = A + 1e-9
+                v_r = sparse_dot(row, list(v))
+                a0_r = sparse_dot(row, qacc0)
+                if kind == "n":
+                    aref = -b_imp * v_r - k_imp * r
+                else:
+                    aref = -b_imp * v_r
+                all_rows.append(dict(
+                    row=row, A=A, aref=aref, a0=a0_r, imp=imp,
+                    active=active, kind=kind,
+                ))
+        nc = len(con)
+
+        # projected Jacobi over the regularized Delassus (contact.py parity)
+        def project(fs):
+            out = list(fs)
+            for i in range(nc):
+                fn = jnp.maximum(fs[3 * i], 0.0)
+                fn = jnp.where(all_rows[3 * i]["active"], fn, 0.0)
+                ft1, ft2 = fs[3 * i + 1], fs[3 * i + 2]
+                ftn = jnp.sqrt(ft1 * ft1 + ft2 * ft2 + 1e-12)
+                scale = jnp.minimum(1.0, mu * fn / ftn)
+                out[3 * i] = fn
+                out[3 * i + 1] = jnp.where(
+                    all_rows[3 * i + 1]["active"], ft1 * scale, 0.0
+                )
+                out[3 * i + 2] = jnp.where(
+                    all_rows[3 * i + 2]["active"], ft2 * scale, 0.0
+                )
+            return out
+
+        denom = []
+        for rr in all_rows:
+            Rreg = (1.0 - rr["imp"]) / jnp.maximum(rr["imp"], 1e-6) * rr["A"]
+            denom.append(rr["A"] + Rreg + 1e-9)
+            rr["Rreg"] = Rreg
+        fs = project([
+            (rr["aref"] - rr["a0"]) / dn for rr, dn in zip(all_rows, denom)
+        ])
+        omega = 0.6
+        for _ in range(solver_iters):
+            # x = Minv (Jᵀ f) accumulated densely
+            x = [jnp.zeros_like(like) for _ in range(14)]
+            for rr, f in zip(all_rows, fs):
+                for d, val in rr["row"].items():
+                    x[d] = x[d] + val * f
+            x = minv_mul(x)
+            new_fs = []
+            for rr, f, dn in zip(all_rows, fs, denom):
+                a_f = sparse_dot(rr["row"], x)
+                resid = rr["aref"] - rr["a0"] - a_f - rr["Rreg"] * f
+                new_fs.append(f + omega * resid / dn)
+            fs = project(new_fs)
+        for rr, f in zip(all_rows, fs):
+            for d, val in rr["row"].items():
+                f_con[d] = f_con[d] + val * f
+
+    rhs = [tau[i] + f_con[i] - bias[i] for i in range(14)]
+    qacc, _ = chol_solve(M, rhs)
+    return tuple(qacc)
+
+
+def integrate_ant(q, v, h):
+    """q ⊞ v·h with MuJoCo free-joint semantics (engine.integrate_pos
+    parity: world-frame linear, body-frame angular exponential)."""
+    out = list(q)
+    for i in range(3):
+        out[i] = q[i] + v[i] * h
+    wx, wy, wz = v[3], v[4], v[5]
+    angle = jnp.sqrt(wx * wx + wy * wy + wz * wz + 1e-18)
+    half = angle * h * 0.5
+    sh = jnp.sin(half) / angle
+    dw = jnp.cos(half)
+    dx = wx * sh
+    dy = wy * sh
+    dz = wz * sh
+    qw, qx, qy, qz = q[3], q[4], q[5], q[6]
+    # right-multiply: quat ∘ dq (body-frame angular velocity)
+    nw = qw * dw - qx * dx - qy * dy - qz * dz
+    nx = qw * dx + qx * dw + qy * dz - qz * dy
+    ny = qw * dy - qx * dz + qy * dw + qz * dx
+    nz = qw * dz + qx * dy - qy * dx + qz * dw
+    norm = jnp.sqrt(nw * nw + nx * nx + ny * ny + nz * nz)
+    out[3], out[4], out[5], out[6] = nw / norm, nx / norm, ny / norm, nz / norm
+    for i in range(7, 15):
+        out[i] = q[i] + v[i - 1] * h
+    return tuple(out)
+
+
+def rk4_step_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl, solver_iters=6):
+    """One RK4 step (mj tableau) of ac.timestep with contacts+limits."""
+    h = ac.timestep
+
+    def acc(q_, v_):
+        return forward_ant(ac, aw, q_, v_, ctrl, solver_iters)
+
+    def vadd(a, b, s):
+        return tuple(x + y * s for x, y in zip(a, b))
+
+    a1 = acc(q, v)
+    q2 = integrate_ant(q, v, h / 2)
+    v2 = vadd(v, a1, h / 2)
+    a2 = acc(q2, v2)
+    q3 = integrate_ant(q, v2, h / 2)
+    v3 = vadd(v, a2, h / 2)
+    a3 = acc(q3, v3)
+    q4 = integrate_ant(q, v3, h)
+    v4 = vadd(v, a3, h)
+    a4 = acc(q4, v4)
+    v_avg = tuple((va + 2 * vb + 2 * vc + vd) / 6.0
+                  for va, vb, vc, vd in zip(v, v2, v3, v4))
+    a_avg = tuple((aa + 2 * ab + 2 * ac_ + ad) / 6.0
+                  for aa, ab, ac_, ad in zip(a1, a2, a3, a4))
+    return integrate_ant(q, v_avg, h), vadd(v, a_avg, h)

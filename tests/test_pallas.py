@@ -69,3 +69,17 @@ def test_rollout_kernel_rejects_object_worlds():
     spec = mmt.make_spec("PointBilliard-v0")
     with pytest.raises(AssertionError):
         pp.spec_from_env(spec)
+
+
+def test_make_fast_rollout_dispatch():
+    """ops.make_fast_rollout: per-robot kernel dispatch; None when the
+    robot/task combo has no fused kernel (object worlds).  Builds only —
+    the on-core PRNG inside rollout kernels has no CPU interpret lowering,
+    so invocation is covered by the TPU-only rollout tests."""
+    from mujoco_maze_tpu import ops
+
+    for env_id in ("PointUMaze-v0", "SwimmerUMaze-v0", "AntUMaze-v0"):
+        env = mmt.make_batched(env_id, num_envs=16)
+        assert ops.make_fast_rollout(env, num_steps=4, tile=16) is not None
+    env2 = mmt.make_batched("PointBilliard-v0", num_envs=4)
+    assert ops.make_fast_rollout(env2, num_steps=4) is None
