@@ -141,21 +141,24 @@ class SwimmerRobot(Robot):
         cleared for debugging."""
         ctrl = jnp.asarray(action, qpos.dtype)
         q, v = qpos[: self.nq], qvel[: self.nv]
-        if self.USE_CLOSED_FORM and self.nq == 5:
+        if self.USE_CLOSED_FORM and self.nq in (4, 5):
             from ..ops import swimmer_math as sw
 
             if not hasattr(self, "_ks"):
                 self._ks = sw.spec_from_model(self.model)
+            ctrl_t = tuple(ctrl[i] for i in range(self.action_dim))
+
             def body(carry, _):
                 qt, vt = carry
-                qt, vt = sw.rk4_step_swimmer(
-                    self._ks, qt, vt, (ctrl[0], ctrl[1])
-                )
+                qt, vt = sw.rk4_step_swimmer(self._ks, qt, vt, ctrl_t)
                 return (qt, vt), None
 
             (qt, vt), _ = jax.lax.scan(
                 body,
-                (tuple(q[i] for i in range(5)), tuple(v[i] for i in range(5))),
+                (
+                    tuple(q[i] for i in range(self.nq)),
+                    tuple(v[i] for i in range(self.nv)),
+                ),
                 None,
                 length=self.frame_skip,
             )

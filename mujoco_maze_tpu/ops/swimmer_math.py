@@ -89,22 +89,29 @@ def _chol5_solve(A, b):
 
 
 def forward_swimmer(ks: SwimmerKernelSpec, q, v, ctrl):
-    """qacc for the 3-link swimmer.
+    """qacc for the 3-link swimmer (n=5 coords) or 2-link reacher (n=4).
 
-    q, v: tuples of 5 lane vectors (x, y, th, p2, p3); ctrl: tuple of 2.
-    Returns tuple of 5 lane vectors.
+    q, v: tuples of n lane vectors (x, y, th, p2[, p3]); ctrl: tuple of
+    ks.n_act.  Returns tuple of n lane vectors.  Reacher's two links are
+    geometrically identical to the swimmer's first two (reacher.xml:20-31
+    vs swimmer.xml), so the 2-link case just drops the p3 column/link.
     """
-    x, y, th, p2, p3 = q
-    vx, vy, vth, vp2, vp3 = v
+    n = len(q)
+    assert n in (4, 5) and n == 3 + ks.n_links - 1
+    if n == 5:
+        x, y, th, p2, p3 = q
+        vx, vy, vth, vp2, vp3 = v
+    else:
+        x, y, th, p2 = q
+        vx, vy, vth, vp2 = v
+        p3 = vp3 = None
     m = (ks.mass)
     Iz = (ks.inertia_z)
 
     a1 = th
     a2 = th + p2
-    a3 = th + p2 + p3
     c1, s1 = jnp.cos(a1), jnp.sin(a1)
     c2, s2 = jnp.cos(a2), jnp.sin(a2)
-    c3, s3 = jnp.cos(a3), jnp.sin(a3)
 
     # rotated fixed vectors (link frames: torso com +1x̂, attach +0.5x̂;
     # mid com −0.5x̂, attach −1x̂; back com −0.5x̂)
@@ -112,7 +119,6 @@ def forward_swimmer(ks: SwimmerKernelSpec, q, v, ctrl):
     r1d = (c1 * 0.5, s1 * 0.5)          # R1·(0.5,0)
     r2c = (-c2 * 0.5, -s2 * 0.5)        # R2·(−0.5,0)
     r2d = (-c2 * 1.0, -s2 * 1.0)        # R2·(−1,0)
-    r3c = (-c3 * 0.5, -s3 * 0.5)        # R3·(−0.5,0)
 
     def perp(v2):
         return (-v2[1], v2[0])
@@ -124,30 +130,32 @@ def forward_swimmer(ks: SwimmerKernelSpec, q, v, ctrl):
     J1t = perp(r1c)
     J2t = perp(add(r1d, r2c))
     J2p2 = perp(r2c)
-    J3t = perp(add(add(r1d, r2d), r3c))
-    J3p2 = perp(add(r2d, r3c))
-    J3p3 = perp(r3c)
     zero = jnp.zeros_like(x)
     # J rows per com: [∂x, ∂y] for each gen coord → store as (2,)-tuples
-    # column layout: [x, y, th, p2, p3]
-    J1 = [(1.0, 0.0), (0.0, 1.0), J1t, (zero, zero), (zero, zero)]
-    J2 = [(1.0, 0.0), (0.0, 1.0), J2t, J2p2, (zero, zero)]
-    J3 = [(1.0, 0.0), (0.0, 1.0), J3t, J3p2, J3p3]
-    g1 = (0.0, 0.0, 1.0, 0.0, 0.0)
-    g2 = (0.0, 0.0, 1.0, 1.0, 0.0)
-    g3 = (0.0, 0.0, 1.0, 1.0, 1.0)
+    # column layout: [x, y, th, p2[, p3]]
+    J1 = [(1.0, 0.0), (0.0, 1.0), J1t, (zero, zero), (zero, zero)][:n]
+    J2 = [(1.0, 0.0), (0.0, 1.0), J2t, J2p2, (zero, zero)][:n]
+    g1 = (0.0, 0.0, 1.0, 0.0, 0.0)[:n]
+    g2 = (0.0, 0.0, 1.0, 1.0, 0.0)[:n]
 
     def to_vec(col):
         cx = col[0] if not isinstance(col[0], float) else jnp.full_like(x, col[0])
         cy = col[1] if not isinstance(col[1], float) else jnp.full_like(x, col[1])
         return cx, cy
 
-    links = [(J1, g1), (J2, g2), (J3, g3)]
-    if ks.n_links == 2:
-        links = links[:2]
+    links = [(J1, g1), (J2, g2)]
+    if ks.n_links == 3:
+        a3 = th + p2 + p3
+        c3, s3 = jnp.cos(a3), jnp.sin(a3)
+        r3c = (-c3 * 0.5, -s3 * 0.5)    # R3·(−0.5,0)
+        J3t = perp(add(add(r1d, r2d), r3c))
+        J3p2 = perp(add(r2d, r3c))
+        J3p3 = perp(r3c)
+        J3 = [(1.0, 0.0), (0.0, 1.0), J3t, J3p2, J3p3]
+        g3 = (0.0, 0.0, 1.0, 1.0, 1.0)
+        links.append((J3, g3))
 
     # mass matrix M[i][j] = Σ_k m (J_k[i]·J_k[j]) + Iz g_k[i] g_k[j]
-    n = 5
     M = [[jnp.zeros_like(x) for _ in range(n)] for _ in range(n)]
     for J, g in links:
         cols = [to_vec(J[i]) for i in range(n)]
@@ -165,15 +173,21 @@ def forward_swimmer(ks: SwimmerKernelSpec, q, v, ctrl):
     # velocity-product com accelerations
     w1 = vth
     w2 = vth + vp2
-    w3 = vth + vp2 + vp3
 
     def scl(s, v2):
         return (s * v2[0], s * v2[1])
 
-    acc1 = scl(-w1 * w1, r1c)
-    acc2 = add(scl(-w1 * w1, r1d), scl(-w2 * w2, r2c))
-    acc3 = add(add(scl(-w1 * w1, r1d), scl(-w2 * w2, r2d)), scl(-w3 * w3, r3c))
-    accs = [acc1, acc2, acc3][: len(links)]
+    accs = [
+        scl(-w1 * w1, r1c),
+        add(scl(-w1 * w1, r1d), scl(-w2 * w2, r2c)),
+    ]
+    omegas = [w1, w2]
+    if ks.n_links == 3:
+        w3 = vth + vp2 + vp3
+        accs.append(
+            add(add(scl(-w1 * w1, r1d), scl(-w2 * w2, r2d)), scl(-w3 * w3, r3c))
+        )
+        omegas.append(w3)
 
     # bias_j = Σ_k m J_k[j] · acc_k   (gravity ⊥ plane → no term)
     bias = [jnp.zeros_like(x) for _ in range(n)]
@@ -190,13 +204,15 @@ def forward_swimmer(ks: SwimmerKernelSpec, q, v, ctrl):
     visc = (ks.viscosity)
     rho = (ks.density)
     pi = (np.pi)
-    angles = [(c1, s1), (c2, s2), (c3, s3)]
-    omegas = [w1, w2, w3]
+    angles = [(c1, s1), (c2, s2)]
+    if ks.n_links == 3:
+        angles.append((c3, s3))
+    vel_list = (vx, vy, vth, vp2, vp3)[:n]
     for (J, g), (ck, sk), wk in zip(links, angles, omegas):
         cols = [to_vec(J[i]) for i in range(n)]
         # com world velocity
-        vwx = sum(cols[i][0] * vv for i, vv in zip(range(n), (vx, vy, vth, vp2, vp3)))
-        vwy = sum(cols[i][1] * vv for i, vv in zip(range(n), (vx, vy, vth, vp2, vp3)))
+        vwx = sum(cols[i][0] * vv for i, vv in zip(range(n), vel_list))
+        vwy = sum(cols[i][1] * vv for i, vv in zip(range(n), vel_list))
         # body frame (rotate by −a)
         vbx = ck * vwx + sk * vwy
         vby = -sk * vwx + ck * vwy

@@ -97,3 +97,33 @@ def test_swimmer_pallas_step_matches_env():
     np.testing.assert_allclose(np.asarray(qp), np.asarray(res.state.qpos), atol=1e-4)
     np.testing.assert_allclose(np.asarray(rew), np.asarray(res.reward), atol=1e-4)
     assert bool((term == res.terminated).all())
+
+
+def test_reacher_closed_form_matches_engine():
+    """2-link reacher through the generalized closed form (n=4 coords)
+    tracks the generic engine to machine epsilon over 40 RK4 steps."""
+    import numpy as np
+
+    from mujoco_maze_tpu.models.reacher import build_reacher_model
+    from mujoco_maze_tpu.ops import swimmer_math as sw
+    from mujoco_maze_tpu.physics import engine
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        model = build_reacher_model()
+        ks = sw.spec_from_model(model)
+        assert (ks.n_act, ks.n_links) == (1, 2)
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.uniform(-1, 1, 4))
+        v = jnp.asarray(rng.uniform(-1, 1, 4))
+        c = jnp.asarray(rng.uniform(-1, 1, 1))
+        q_ref, v_ref = q, v
+        qt = tuple(q[i][None] for i in range(4))
+        vt = tuple(v[i][None] for i in range(4))
+        for _ in range(40):
+            q_ref, v_ref = engine.rk4_step(model, q_ref, v_ref, c)
+            qt, vt = sw.rk4_step_swimmer(ks, qt, vt, (c[0][None],))
+        got = np.asarray([float(x[0]) for x in qt])
+        assert np.abs(got - np.asarray(q_ref)).max() < 1e-10
+    finally:
+        jax.config.update("jax_enable_x64", False)
