@@ -17,6 +17,7 @@ from __future__ import annotations
 _KERNEL_MODULES = {
     "Point": "point_pallas",
     "Swimmer": "swimmer_pallas",
+    "Reacher": "swimmer_pallas",  # closed form is generic over link count
     "Ant": "ant_pallas",
 }
 

@@ -9,6 +9,9 @@ auto-reset with the swimmer's ±0.1 uniform noise law).
 
 Swimmer mazes have no robot-wall interaction (the reference model defines
 no contact pairs — SURVEY quirk list), so no collision stage is needed.
+
+Also serves the 2-link Reacher (nq=4, one actuator) — the closed form
+(:mod:`.swimmer_math`) is generic over the link count.
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ class SwimmerEnvKernelSpec(NamedTuple):
 
 
 def spec_from_env(spec) -> SwimmerEnvKernelSpec:
-    assert spec.robot.NAME == "Swimmer", "swimmer kernel"
+    assert spec.robot.NAME in ("Swimmer", "Reacher"), "swimmer-family kernel"
     assert not spec.block_runtimes and not spec.ball_runtimes
     g = spec.heads.goals
     return SwimmerEnvKernelSpec(
@@ -76,18 +79,20 @@ def build_rollout_kernel(es: SwimmerEnvKernelSpec, num_envs: int,
         interpret = jax.default_backend() != "tpu"
     grid = (num_envs // tile,)
     ks = es.dyn
+    nq = 3 + ks.n_links - 1
+    nu = ks.n_act
     dt_outer = np.float32(ks.timestep * es.frame_skip)
 
-    def env_step(q, v, t, a0, a1):
+    def env_step(q, v, t, ctrl):
         """One outer env step (frame_skip RK4 + env layer)."""
         x0, y0 = q[0], q[1]
         for _ in range(es.frame_skip):
-            q, v = rk4_step_swimmer(ks, q, v, (a0, a1))
+            q, v = rk4_step_swimmer(ks, q, v, ctrl)
         # inner locomotion reward (swimmer.py:32-47)
         velx = (q[0] - x0) / dt_outer
         vely = (q[1] - y0) / dt_outer
         forward = jnp.sqrt(velx * velx + vely * vely)
-        ctrl_cost = np.float32(1e-4) * (a0 * a0 + a1 * a1)
+        ctrl_cost = np.float32(1e-4) * sum(a * a for a in ctrl)
         inner = forward - ctrl_cost
         t = t + 1
         # task heads on (x, y)
@@ -121,15 +126,17 @@ def build_rollout_kernel(es: SwimmerEnvKernelSpec, num_envs: int,
                out_t, out_rew, out_eps):
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
-        q = tuple(qpos_ref[i, :] for i in range(5))
-        v = tuple(qvel_ref[i, :] for i in range(5))
+        q = tuple(qpos_ref[i, :] for i in range(nq))
+        v = tuple(qvel_ref[i, :] for i in range(nq))
         t = t_ref[0, :]
 
         def body(i, carry):
             q, v, t, rew_sum, eps = carry
-            a0 = _uniform((tile,), np.float32(-1.0), np.float32(1.0))
-            a1 = _uniform((tile,), np.float32(-1.0), np.float32(1.0))
-            q, v, t, reward, term, trunc = env_step(q, v, t, a0, a1)
+            ctrl = tuple(
+                _uniform((tile,), np.float32(-1.0), np.float32(1.0))
+                for _ in range(nu)
+            )
+            q, v, t, reward, term, trunc = env_step(q, v, t, ctrl)
             done = term | trunc
             # swimmer reset noise law: qpos AND qvel ~ U(-0.1, 0.1)
             q = tuple(
@@ -148,7 +155,7 @@ def build_rollout_kernel(es: SwimmerEnvKernelSpec, num_envs: int,
             (q, v, t, jnp.zeros((tile,), jnp.float32),
              jnp.zeros((tile,), jnp.int32)),
         )
-        for i in range(5):
+        for i in range(nq):
             out_qpos[i, :] = q[i]
             out_qvel[i, :] = v[i]
         out_t[0, :] = t
@@ -159,21 +166,21 @@ def build_rollout_kernel(es: SwimmerEnvKernelSpec, num_envs: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((5, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((5, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((5, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((5, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((nq, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((nq, num_envs), jnp.float32),
             jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
             jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
             jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
@@ -204,21 +211,23 @@ def build_step_kernel(es: SwimmerEnvKernelSpec, num_envs: int,
         interpret = jax.default_backend() != "tpu"
     grid = (num_envs // tile,)
     ks = es.dyn
+    nq = 3 + ks.n_links - 1
+    nu = ks.n_act
     dt_outer = np.float32(ks.timestep * es.frame_skip)
 
     def kernel(qpos_ref, qvel_ref, t_ref, act_ref, out_qpos, out_qvel,
                out_t, out_rew, out_term):
-        q = tuple(qpos_ref[i, :] for i in range(5))
-        v = tuple(qvel_ref[i, :] for i in range(5))
+        q = tuple(qpos_ref[i, :] for i in range(nq))
+        v = tuple(qvel_ref[i, :] for i in range(nq))
         t = t_ref[0, :]
-        a0, a1 = act_ref[0, :], act_ref[1, :]
+        ctrl = tuple(act_ref[i, :] for i in range(nu))
         x0, y0 = q[0], q[1]
         for _ in range(es.frame_skip):
-            q, v = rk4_step_swimmer(ks, q, v, (a0, a1))
+            q, v = rk4_step_swimmer(ks, q, v, ctrl)
         velx = (q[0] - x0) / dt_outer
         vely = (q[1] - y0) / dt_outer
-        inner = jnp.sqrt(velx * velx + vely * vely) - np.float32(1e-4) * (
-            a0 * a0 + a1 * a1
+        inner = jnp.sqrt(velx * velx + vely * vely) - np.float32(1e-4) * sum(
+            a * a for a in ctrl
         )
         t = t + 1
         if es.reward_type == "dist":
@@ -244,7 +253,7 @@ def build_step_kernel(es: SwimmerEnvKernelSpec, num_envs: int,
             if es.reward_type == "goal":
                 outer = jnp.where(near, np.float32(es.goal_scale[gi]), outer)
         reward = np.float32(es.inner_scale) * inner + outer
-        for i in range(5):
+        for i in range(nq):
             out_qpos[i, :] = q[i]
             out_qvel[i, :] = v[i]
         out_t[0, :] = t
@@ -255,21 +264,21 @@ def build_step_kernel(es: SwimmerEnvKernelSpec, num_envs: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((5, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nu, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((5, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((5, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((5, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((nq, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((nq, num_envs), jnp.float32),
             jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
             jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
             jax.ShapeDtypeStruct((1, num_envs), jnp.bool_),
