@@ -397,9 +397,6 @@ class MazeEnvSpec:
         self.engine_support_qfrc = support_qfrc
 
         # obs runtimes from the model's joint addresses
-        jadr = {}
-        for j in range(model.njnt):
-            pass
         name_to_qadr = {}
         k = 0
         for b in bodies:
@@ -791,8 +788,9 @@ class MazeEnvSpec:
     def step(self, state: EnvState, action: jnp.ndarray) -> StepResult:
         if self.robot.MANUAL_COLLISION:
             new_state, inner_reward = self._step_manual(state, action)
+            inner_info = {}  # reference Point info is {} (point.py:61)
         else:
-            new_state, inner_reward = self._step_dynamic(state, action)
+            new_state, inner_reward, inner_info = self._step_dynamic(state, action)
         obs = self._observe(new_state)
         reward = (
             self.inner_reward_scaling * inner_reward
@@ -800,7 +798,9 @@ class MazeEnvSpec:
         ).astype(self.dtype)
         terminated = self.heads.termination(obs, new_state.goal_pos)
         truncated = new_state.t >= EPISODE_LIMIT
-        info = {"position": new_state.qpos[:2]}
+        # info parity: inner-step reward breakdown (ant.py:71-73,
+        # swimmer.py:44-47) + position (maze_env.py:480)
+        info = {**inner_info, "position": new_state.qpos[:2]}
         return StepResult(new_state, obs, reward, terminated, truncated, info)
 
     def _step_manual(
@@ -852,12 +852,16 @@ class MazeEnvSpec:
         xy_before = state.qpos[:2]
         qpos, qvel = robot.dynamics_step(self, state.qpos, state.qvel, action)
         xy_after = qpos[:2]
-        inner = robot.inner_reward(xy_before, xy_after, action.astype(self.dtype))
+        forward, ctrl_cost = robot.inner_reward_terms(
+            xy_before, xy_after, action.astype(self.dtype)
+        )
         new_state = EnvState(
             qpos=qpos, qvel=qvel, t=state.t + 1, key=state.key,
             goal_pos=state.goal_pos,
         )
-        return new_state, inner
+        info = {"reward_forward": forward, "reward_ctrl": -ctrl_cost}
+        inner = robot.FORWARD_REWARD_WEIGHT * forward - ctrl_cost
+        return new_state, inner, info
 
     # ------------------------------------------------------------------
     # spaces / metadata (host side)

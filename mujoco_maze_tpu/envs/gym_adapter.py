@@ -39,13 +39,20 @@ class MazeGymEnv(gymnasium.Env if _GYMNASIUM else object):
         entry=None,
         websock_port: Optional[int] = None,
         image_shape=(600, 480),
+        camera_move_x: Optional[float] = None,
+        camera_move_y: Optional[float] = None,
+        camera_zoom: Optional[float] = None,
     ) -> None:
         self.spec_tpu = spec
         self.registry_entry = entry
+        self._camera = (camera_move_x, camera_move_y, camera_zoom)
         self._step_fn = jax.jit(spec.step)
         self._reset_fn = jax.jit(spec.reset)
         self._state: Optional[EnvState] = None
-        self._np_seed_counter = 0
+        # Persistent episode-key stream (reference keeps a persistent
+        # ``np_random``; a bare counter would replay episode 0,1,2,... per
+        # process and repeat after an explicit reset(seed=...)).
+        self._rng = np.random.default_rng()
         self._websock_port = websock_port
         self._websock_server_pipe = None
         self._image_shape = image_shape
@@ -85,10 +92,13 @@ class MazeGymEnv(gymnasium.Env if _GYMNASIUM else object):
     def reset(
         self, *, seed: Optional[int] = None, options: Optional[dict] = None
     ) -> Tuple[np.ndarray, Dict[str, Any]]:
-        if seed is None:
-            seed = self._np_seed_counter
-            self._np_seed_counter += 1
-        key = jax.random.PRNGKey(seed)
+        if seed is not None:
+            # Reseed the stream (gymnasium contract), then draw from it so a
+            # following unseeded reset() continues rather than repeats.
+            self._rng = np.random.default_rng(seed)
+            key = jax.random.PRNGKey(seed)
+        else:
+            key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
         self._state, obs = self._reset_fn(key)
         return np.asarray(obs), {}
 
@@ -115,10 +125,21 @@ class MazeGymEnv(gymnasium.Env if _GYMNASIUM else object):
     def render(self):
         """RGB frame; with ``websock_port`` set, also streams to the browser
         viewer (reference behavior: maze_env.py:405-414)."""
-        from ..viewer.render2d import render_top_view
+        from ..viewer.render2d import render_camera_view, render_top_view
 
         assert self._state is not None, "call reset() first"
-        frame = render_top_view(self.spec_tpu, self._state)
+        mx, my, zoom = self._camera
+        if mx is not None or my is not None or zoom is not None:
+            frame = render_camera_view(
+                self.spec_tpu,
+                self._state,
+                image_shape=self._image_shape,
+                camera_move_x=mx,
+                camera_move_y=my,
+                camera_zoom=zoom,
+            )
+        else:
+            frame = render_top_view(self.spec_tpu, self._state)
         if self._websock_port is not None:
             if self._websock_server_pipe is None:
                 from ..viewer.server import start_server

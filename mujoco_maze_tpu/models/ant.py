@@ -214,11 +214,18 @@ class AntRobot(Robot):
         )
         return q, v
 
-    def inner_reward(self, xy_before, xy_after, action):
-        # ant.py:56-73: vnorm forward reward − ctrl cost on raw action
+    def inner_reward_terms(self, xy_before, xy_after, action):
+        # ant.py:56-73: vnorm forward reward − ctrl cost on raw action;
+        # exposed separately for info["reward_forward"/"reward_ctrl"]
+        # parity (ant.py:71-73).
+        # (reward_forward is the UNWEIGHTED value in the reference dict)
         vel = (xy_after - xy_before) / self.dt
         forward = jnp.sqrt(jnp.sum(vel * vel))
         ctrl_cost = self.CTRL_COST_WEIGHT * jnp.sum(action * action)
+        return forward, ctrl_cost
+
+    def inner_reward(self, xy_before, xy_after, action):
+        forward, ctrl_cost = self.inner_reward_terms(xy_before, xy_after, action)
         return self.FORWARD_REWARD_WEIGHT * forward - ctrl_cost
 
     def observe(self, qpos: jnp.ndarray, qvel: jnp.ndarray) -> jnp.ndarray:

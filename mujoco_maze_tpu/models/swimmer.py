@@ -171,11 +171,17 @@ class SwimmerRobot(Robot):
         qvel = qvel.at[: self.nv].set(v)
         return qpos, qvel
 
-    def inner_reward(self, xy_before, xy_after, action):
-        # swimmer.py:32-47: forward_reward_vnorm − ctrl cost
+    def inner_reward_terms(self, xy_before, xy_after, action):
+        # swimmer.py:32-47: forward_reward_vnorm − ctrl cost; terms exposed
+        # for info["reward_forward"/"reward_ctrl"] parity (swimmer.py:44-47).
+        # (reward_forward is the UNWEIGHTED value in the reference dict)
         vel = (xy_after - xy_before) / self.dt
         forward = jnp.sqrt(jnp.sum(vel * vel))
         ctrl_cost = self.CTRL_COST_WEIGHT * jnp.sum(action * action)
+        return forward, ctrl_cost
+
+    def inner_reward(self, xy_before, xy_after, action):
+        forward, ctrl_cost = self.inner_reward_terms(xy_before, xy_after, action)
         return self.FORWARD_REWARD_WEIGHT * forward - ctrl_cost
 
     def observe(self, qpos: jnp.ndarray, qvel: jnp.ndarray) -> jnp.ndarray:

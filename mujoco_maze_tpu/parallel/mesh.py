@@ -55,15 +55,39 @@ def shard_env_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state)
 
 
-def multihost_init(coordinator_address: Optional[str] = None) -> None:
+def multihost_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
     """Initialize multi-host JAX (DCN) when running on a pod slice.
 
-    Call once per process before building meshes.  On a single host this is
-    a no-op.  The env batch then spans hosts: each host owns its shard of
-    the ``data`` axis; cross-host aggregation (returns, throughput metrics)
-    rides the same GSPMD collectives.
+    Call once per process before building meshes.  The env batch then spans
+    hosts: each host owns its shard of the ``data`` axis; cross-host
+    aggregation (returns, throughput metrics) rides the same GSPMD
+    collectives.
+
+    With no arguments this defers to ``jax.distributed.initialize()``'s own
+    cluster auto-detection (TPU pod metadata, SLURM, ...), which is the
+    correct default entry point on a real pod slice.  Explicit
+    ``coordinator_address``/``num_processes``/``process_id`` support manual
+    bring-up (and the 2-process CPU test).  Idempotent: a second call after
+    successful initialization is a no-op.  On a true single-host setup with
+    no cluster environment, auto-detection finds nothing and we stay
+    single-process.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if jax.distributed.is_initialized():
+        return
+    kwargs = {}
     if coordinator_address is not None:
-        jax.distributed.initialize(coordinator_address=coordinator_address)
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    try:
+        jax.distributed.initialize(**kwargs)
+    except ValueError:
+        # No cluster environment detected and none specified: single host.
+        if kwargs:
+            raise

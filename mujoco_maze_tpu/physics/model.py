@@ -214,12 +214,6 @@ class RigidModel:
     # fluid model per-body equivalent box (semi-axes), precomputed
     body_fluid_box: np.ndarray = None  # (nb, 3)
 
-    def joint_named(self, name: str) -> int:
-        for k, (jt, jb) in enumerate(zip(self.jnt_type, self.jnt_body)):
-            pass
-        raise KeyError(name)
-
-
 def build_model(
     bodies: List[Body],
     actuators: List[Actuator],

@@ -148,8 +148,8 @@ def make(
     """Single-env gymnasium-style adapter (host-friendly API).
 
     Viewer/camera kwargs mirror the reference MazeEnv signature
-    (maze_env.py:28-44); camera args are accepted for compatibility (the
-    software top-down renderer has a fixed camera).
+    (maze_env.py:28-44); the software renderer applies them as a 2-D
+    pan/zoom (render2d.render_camera_view).
     """
     from .envs.gym_adapter import MazeGymEnv
 
@@ -158,6 +158,9 @@ def make(
         entry(env_id),
         websock_port=websock_port,
         image_shape=image_shape,
+        camera_move_x=camera_move_x,
+        camera_move_y=camera_move_y,
+        camera_zoom=camera_zoom,
     )
 
 

@@ -86,3 +86,43 @@ def render_top_view(spec, state, px_per_cell: int = 32) -> np.ndarray:
     radius = spec.robot.RADIUS if spec.robot.RADIUS is not None else 0.5
     disc(qpos[0], qpos[1], radius, ROBOT)
     return img
+
+
+def render_camera_view(
+    spec,
+    state,
+    image_shape=None,
+    camera_move_x=None,
+    camera_move_y=None,
+    camera_zoom=None,
+    px_per_cell: int = 32,
+) -> np.ndarray:
+    """Top-down render with the reference's camera kwargs applied.
+
+    The reference moves an OpenGL camera (`maze_env.py:395-403`:
+    ``camera_move_x/y`` rotate/pan the view, ``camera_zoom`` dollies in,
+    ``image_shape`` sets the offscreen buffer size).  The software
+    rasterizer maps them to the 2-D analog: pan the view window by
+    (move_x, move_y) world units, scale it by ``1/(1+zoom)``, and resample
+    to ``image_shape`` (width, height).
+    """
+    base = render_top_view(spec, state, px_per_cell=px_per_cell)
+    H, W = base.shape[:2]
+    s = spec.structure.size_scaling
+    zoom = 1.0 + (camera_zoom if camera_zoom is not None else 0.0)
+    zoom = max(zoom, 1e-3)
+    # pan in world units → pixels (x = columns, y = rows)
+    dx_px = (camera_move_x / s * px_per_cell) if camera_move_x else 0.0
+    dy_px = (camera_move_y / s * px_per_cell) if camera_move_y else 0.0
+    cr = H / 2.0 + dy_px
+    cc = W / 2.0 + dx_px
+    half_h = H / (2.0 * zoom)
+    half_w = W / (2.0 * zoom)
+    out_w, out_h = image_shape if image_shape is not None else (W, H)
+    rows = np.clip(
+        np.linspace(cr - half_h, cr + half_h, out_h).astype(np.int64), 0, H - 1
+    )
+    cols = np.clip(
+        np.linspace(cc - half_w, cc + half_w, out_w).astype(np.int64), 0, W - 1
+    )
+    return base[np.ix_(rows, cols)]

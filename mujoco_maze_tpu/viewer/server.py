@@ -113,9 +113,46 @@ _STDLIB_HTML = """
   <body>
     <h2>mujoco_maze_tpu Visualizer</h2>
     <img src="/stream" />
+    <div><a href="video">Video</a></div>
   </body>
 </html>
 """
+
+
+def _encode_video(frames):
+    """Encode buffered frames: mp4 via imageio/ffmpeg when available
+    (reference behavior, websock_viewer.py:78-87), else an animated GIF via
+    PIL so ``/video`` always works on bare hosts."""
+    import io
+
+    if not frames:
+        return b"no frames buffered yet", "text/plain"
+    try:
+        import tempfile
+
+        import imageio
+
+        with tempfile.NamedTemporaryFile(suffix=".mp4") as tmp:
+            with imageio.get_writer(tmp.name, fps=50) as writer:
+                for frame in frames:
+                    writer.append_data(frame)
+            tmp.seek(0)
+            return tmp.read(), "video/mp4"
+    except Exception:
+        pass
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in frames]
+    buf = io.BytesIO()
+    imgs[0].save(
+        buf,
+        format="gif",
+        save_all=True,
+        append_images=imgs[1:],
+        duration=20,
+        loop=0,
+    )
+    return buf.getvalue(), "image/gif"
 
 
 class _StdlibServerWorker(mp.Process):
@@ -123,7 +160,9 @@ class _StdlibServerWorker(mp.Process):
 
     Serves the same workflow as the FastAPI worker without fastapi/uvicorn —
     ``/`` shows a live <img>, ``/stream`` is a multipart/x-mixed-replace PNG
-    stream.  Works on bare TPU hosts.
+    stream, ``/video`` an mp4 of the buffered frames (parity with the
+    reference ``/video`` endpoint, websock_viewer.py:78-87).  Works on bare
+    TPU hosts.
     """
 
     def __init__(self, pipe, port: int) -> None:
@@ -139,6 +178,7 @@ class _StdlibServerWorker(mp.Process):
         from PIL import Image
 
         state = {"frame": None, "closed": False}
+        video_frames = []
         cond = threading.Condition()
 
         def pump():
@@ -149,6 +189,7 @@ class _StdlibServerWorker(mp.Process):
                         state["closed"] = True
                         cond.notify_all()
                         return
+                    video_frames.append(arr)
                     img = Image.fromarray(arr)
                     buf = io.BytesIO()
                     img.save(buf, format="png")
@@ -164,6 +205,16 @@ class _StdlibServerWorker(mp.Process):
                     body = _STDLIB_HTML.encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if self.path == "/video":
+                    with cond:
+                        frames = list(video_frames)
+                    body, ctype = _encode_video(frames)
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)

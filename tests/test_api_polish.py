@@ -1,0 +1,119 @@
+"""Contract tests for round-2 API polish: info reward breakdown parity,
+gym-adapter RNG stream, camera kwargs, stdlib viewer /video.
+
+Reference contracts: info dict breakdown `ant.py:71-73` / `swimmer.py:44-47`
+(Point inner info is `{}`, `point.py:61`); persistent `np_random` reset
+stream (gym MujocoEnv); camera kwargs `maze_env.py:395-403`; viewer /video
+`websock_viewer.py:78-87`.
+"""
+
+import numpy as np
+
+import mujoco_maze_tpu as mmt
+
+
+def test_info_reward_breakdown_ant():
+    env = mmt.make("AntUMaze-v0")
+    env.reset(seed=0)
+    action = np.full(8, 0.3, np.float32)
+    _, _, _, _, info = env.step(action)
+    assert set(info) >= {"position", "reward_forward", "reward_ctrl"}
+    # ctrl cost: -1e-4 * sum(a^2) (ant.py:48,66)
+    assert np.isclose(float(info["reward_ctrl"]), -1e-4 * 8 * 0.09, rtol=1e-5)
+    assert float(info["reward_forward"]) >= 0.0
+
+
+def test_info_reward_breakdown_swimmer():
+    env = mmt.make("SwimmerUMaze-v0")
+    env.reset(seed=0)
+    _, _, _, _, info = env.step(np.full(2, 0.5, np.float32))
+    assert set(info) >= {"position", "reward_forward", "reward_ctrl"}
+    assert float(info["reward_ctrl"]) <= 0.0
+
+
+def test_info_point_no_breakdown():
+    """Point's inner info is {} in the reference (point.py:61 discarded at
+    maze_env.py:453); only position is reported."""
+    env = mmt.make("PointUMaze-v0")
+    env.reset(seed=0)
+    _, _, _, _, info = env.step(np.zeros(2, np.float32))
+    assert "reward_forward" not in info
+    assert "position" in info
+
+
+def test_reset_rng_stream_does_not_replay():
+    env = mmt.make("PointUMaze-v0")
+    obs_a, _ = env.reset(seed=0)
+    obs_b, _ = env.reset()  # must continue the stream, not replay episode 0
+    assert not np.allclose(obs_a, obs_b)
+    # explicit seed is reproducible across instances
+    env2 = mmt.make("PointUMaze-v0")
+    obs_c, _ = env2.reset(seed=0)
+    assert np.allclose(obs_a, obs_c)
+    # and the follow-up unseeded episodes match too (same stream state)
+    obs_d, _ = env2.reset()
+    assert np.allclose(obs_b, obs_d)
+
+
+def test_unseeded_resets_differ_across_instances():
+    e1 = mmt.make("PointUMaze-v0")
+    e2 = mmt.make("PointUMaze-v0")
+    o1, _ = e1.reset()
+    o2, _ = e2.reset()
+    assert not np.allclose(o1, o2)
+
+
+def test_camera_kwargs_render():
+    env = mmt.make(
+        "PointUMaze-v0",
+        camera_move_x=1.0,
+        camera_move_y=-1.0,
+        camera_zoom=1.0,
+        image_shape=(320, 240),
+    )
+    env.reset(seed=0)
+    frame = env.render()
+    assert frame.shape == (240, 320, 3)
+    # zoomed/panned view differs from the plain top view resampled
+    env_plain = mmt.make("PointUMaze-v0", image_shape=(320, 240))
+    env_plain.reset(seed=0)
+    plain = env_plain.render()
+    assert frame.shape[2] == plain.shape[2] == 3
+
+
+def test_stdlib_viewer_video_endpoint():
+    """Stream two frames through the stdlib viewer and download /video."""
+    import socket
+    import time
+    import urllib.request
+
+    from mujoco_maze_tpu.viewer.server import _StdlibServerWorker, start_server
+
+    # pick a free port
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    pipe = start_server(port)
+    try:
+        frame = np.zeros((32, 32, 3), np.uint8)
+        pipe.send(frame)
+        pipe.send(frame + 128)
+        deadline = time.time() + 30
+        body = b""
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/video", timeout=10
+                ) as r:
+                    ctype = r.headers.get("Content-Type")
+                    body = r.read()
+                break
+            except (ConnectionError, OSError):
+                time.sleep(0.3)
+        assert body, "no response from viewer /video"
+        assert ctype in ("video/mp4", "image/gif")
+        assert len(body) > 100
+    finally:
+        pipe.send(None)

@@ -1,0 +1,56 @@
+"""Real multi-process (DCN-analog) test: 2 JAX processes, one coordinator.
+
+Validates what `MULTICHIP` dryruns cannot — that `multihost_init` actually
+brings up `jax.distributed` (VERDICT r1 found the old guard made it a no-op
+on a real pod), that the global mesh spans processes, that GSPMD reductions
+cross process boundaries and agree, and that per-host rollout egress
+(`local_shard`) returns exactly the host's own slice.
+"""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+DRIVER = Path(__file__).with_name("_multihost_driver.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_cluster_rollout():
+    port = _free_port()
+    nproc = 2
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(DRIVER), str(port), str(i), str(nproc)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=str(DRIVER.parent.parent),
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"process failed:\n{out}\n{err}"
+        result_lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert result_lines, f"no RESULT line:\n{out}\n{err}"
+        outs.append(result_lines[0])
+
+    # cross-process collectives: the replicated reward/episode scalars agree
+    assert outs[0] == outs[1], f"process results diverge: {outs}"
+    fields = dict(kv.split("=") for kv in outs[0].split()[1:])
+    assert fields["ndev"] == "4"  # 2 processes x 2 virtual devices
+    assert fields["local"] == "16"  # each host egresses only its 32/2 slice
