@@ -467,6 +467,25 @@ def rne_bias(ac: AntConsts, fk: AntFK, v):
     return bias
 
 
+class AntBlock(NamedTuple):
+    """One movable maze block (slide-jointed box body) in the ant kernel.
+
+    TPU analog of the reference's movable-block world synthesis
+    (`maze_env.py:563-633`): axis-aligned box with 1-3 slide dofs appended
+    after the ant's 14 (model dof layout), travel limits encoding
+    block-vs-wall collision, and the unconditional z>=0 floor-support
+    impedance for "falling" blocks (see envs/env.py support note)."""
+
+    base: tuple          # (3,) body position (world)
+    half: tuple          # (3,) box half extents
+    inv_mass: float
+    axes: tuple          # axis index (0/1/2) per dof, model order
+    vadr: tuple          # absolute dof indices (q index = vadr + 1)
+    ranges: tuple        # ((lo, hi),) per dof, qpos offsets from base
+    falling_zdof: int    # vadr of the supported z dof, or -1
+    margin: float        # box geom margin
+
+
 class AntWorld(NamedTuple):
     """Static maze collision data for the ant kernel."""
 
@@ -482,12 +501,55 @@ class AntWorld(NamedTuple):
     solimp: tuple            # (d0, dmax, width)
     solref_tc: float         # clamped time constant
     n_near_boxes: int        # torso-proximity box prune count
+    blocks: tuple = ()       # movable AntBlocks (AntPush/AntFall worlds)
+
+
+def nv_total(aw: AntWorld) -> int:
+    return 14 + sum(len(b.axes) for b in aw.blocks)
 
 
 def world_from_spec(spec, n_near_boxes: int = 4) -> AntWorld:
     cs = spec.contact_set
-    g0 = spec.dynamic_model.geoms[0][1]
+    model = spec.dynamic_model
+    g0 = model.geoms[0][1]
     tc = max(g0.solref[0], 2.0 * spec.robot.timestep)
+
+    # movable blocks: slide-jointed box bodies appended after the ant's 13
+    assert len(cs.pair_i) == 0, "ant kernel: dynamic sphere pairs unsupported"
+    falling = {zdof for _, zdof in getattr(spec, "_falling_blocks", ())}
+    blocks = []
+    N_ANT_BODIES = 13
+    dbox_by_body = {int(b): k for k, b in enumerate(cs.dbox_body)}
+    for bodyidx in range(N_ANT_BODIES, model.nbody):
+        jids = [j for j in range(model.njnt) if int(model.jnt_body[j]) == bodyidx]
+        assert all(int(model.jnt_type[j]) == 2 for j in jids), (
+            "ant kernel: only slide-jointed blocks (no SPIN/ball dofs)"
+        )
+        axes, vadr, ranges = [], [], []
+        fall_z = -1
+        for j in jids:
+            ax = np.asarray(model.jnt_axis[j], np.float64)
+            axis = int(np.argmax(np.abs(ax)))
+            d = int(model.jnt_dofadr[j])
+            axes.append(axis)
+            vadr.append(d)
+            ranges.append(tuple(float(r) for r in model.jnt_range[j]))
+            if d in falling:
+                fall_z = d
+        k = dbox_by_body[bodyidx]
+        blocks.append(
+            AntBlock(
+                base=tuple(float(x) for x in model.body_pos[bodyidx]),
+                half=tuple(float(x) for x in cs.dbox_half[k]),
+                inv_mass=float(1.0 / model.body_mass[bodyidx]),
+                axes=tuple(axes),
+                vadr=tuple(vadr),
+                ranges=tuple(ranges),
+                falling_zdof=fall_z,
+                margin=float(cs.dbox_margin[k]),
+            )
+        )
+
     return AntWorld(
         box_center=np.asarray(cs.box_center, np.float64),
         box_half=np.asarray(cs.box_half, np.float64),
@@ -501,12 +563,18 @@ def world_from_spec(spec, n_near_boxes: int = 4) -> AntWorld:
         solimp=tuple(g0.solimp),
         solref_tc=tc,
         n_near_boxes=min(n_near_boxes, len(cs.box_center)),
+        blocks=tuple(blocks),
     )
 
 
-def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK):
+def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
     """Detect candidate contacts; returns list of
-    (body, point Vec3, normal Vec3, dist, margin) lane entries."""
+    (body, point Vec3, normal Vec3, dist, margin, xdofs) lane entries.
+
+    ``xdofs`` is a tuple of (vdof, axis) extra Jacobian entries for contacts
+    against a movable block: the row entry for direction ``dir`` is
+    ``-dir[axis]`` (the block is the second body; sign_mask parity with
+    physics/contact.py contact_qfrc)."""
     like = fk.pos[0].x
     rows = []
     # sphere world centers
@@ -526,7 +594,52 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK):
         dist = c.z - r
         p = Vec3(c.x, c.y, c.z - r)
         rows.append((int(aw.sph_body[s]), p, up, dist,
-                     float(aw.sph_margin[s]) + aw.floor_margin))
+                     float(aw.sph_margin[s]) + aw.floor_margin, ()))
+    # movable blocks: sphere vs axis-aligned moving box (all pairs — the
+    # worlds have 1-3 blocks; no prune needed)
+    for bl in aw.blocks:
+        # box center = base + slide-dof offsets along the moving axes
+        off = [jnp.zeros_like(like) for _ in range(3)]
+        for axis, d in zip(bl.axes, bl.vadr):
+            off[axis] = q[d + 1]  # qpos index of a non-free dof = vdof + 1
+        bcx = off[0] + np.float32(bl.base[0])
+        bcy = off[1] + np.float32(bl.base[1])
+        bcz = off[2] + np.float32(bl.base[2])
+        hx, hy, hz = (np.float32(h) for h in bl.half)
+        xdofs = tuple(zip(bl.vadr, bl.axes))
+        for s, c in enumerate(centers):
+            r = float(aw.sph_radius[s])
+            body = int(aw.sph_body[s])
+            lx, ly, lz = c.x - bcx, c.y - bcy, c.z - bcz
+            clx = jnp.clip(lx, -hx, hx)
+            cly = jnp.clip(ly, -hy, hy)
+            clz = jnp.clip(lz, -hz, hz)
+            dxo, dyo, dzo = lx - clx, ly - cly, lz - clz
+            d_out = jnp.sqrt(dxo * dxo + dyo * dyo + dzo * dzo + 1e-12)
+            outside = d_out > 1e-6
+            ex = hx - jnp.abs(lx)
+            ey = hy - jnp.abs(ly)
+            ez = hz - jnp.abs(lz)
+            mmin = jnp.minimum(jnp.minimum(ex, ey), ez)
+            is_x = ex <= jnp.minimum(ey, ez)
+            is_y = (~is_x) & (ey <= ez)
+            is_z = (~is_x) & (~is_y)
+            nix = jnp.where(is_x, jnp.where(lx >= 0, 1.0, -1.0), 0.0)
+            niy = jnp.where(is_y, jnp.where(ly >= 0, 1.0, -1.0), 0.0)
+            niz = jnp.where(is_z, jnp.where(lz >= 0, 1.0, -1.0), 0.0)
+            dist = jnp.where(outside, d_out - r, -mmin - r)
+            nrm = Vec3(
+                jnp.where(outside, dxo / d_out, nix),
+                jnp.where(outside, dyo / d_out, niy),
+                jnp.where(outside, dzo / d_out, niz),
+            )
+            p = Vec3(
+                bcx + jnp.where(outside, clx, lx - nix * (-mmin)),
+                bcy + jnp.where(outside, cly, ly - niy * (-mmin)),
+                bcz + jnp.where(outside, clz, lz - niz * (-mmin)),
+            )
+            rows.append((body, p, nrm, dist,
+                         float(aw.sph_margin[s]) + bl.margin, xdofs))
     B = len(aw.box_center)
     if B == 0:
         return rows
@@ -613,7 +726,7 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK):
                          Vec3(nx, ny, nz), dist, sm + nb["m"]))
         if len(cand) <= 2:
             for _, p, nrm, dist, marg in cand:
-                rows.append((body, p, nrm, dist, marg))
+                rows.append((body, p, nrm, dist, marg, ()))
         else:
             like0 = cand[0][0]
             INFc = jnp.full_like(like0, np.inf)
@@ -642,18 +755,33 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK):
                 best = [pick(b1, cc, bb) for cc, bb in zip(cur, best)]
                 second = new_second
             for sel in (best, second):
-                rows.append((body, sel[1], sel[2], sel[3], sel[4]))
+                rows.append((body, sel[1], sel[2], sel[3], sel[4], ()))
     return rows
 
 
 def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
                 solver_iters: int = 6):
-    """qacc (tuple of 14 lane scalars) with contacts + limits."""
+    """qacc (tuple of nv lane scalars) with contacts + limits.
+
+    Dof layout: 14 ant dofs, then block slide dofs (model order).  The mass
+    matrix is block-diagonal — dense 14x14 ant block + a diagonal for the
+    (uncoupled) block slides — so the Cholesky stays 14x14 and block dofs
+    solve by scalar division; coupling happens only through contact rows."""
     like = q[0]
+    NV = nv_total(aw)
     fk = fk_ant(ac, q)
     M = mass_matrix(ac, fk)
-    bias = rne_bias(ac, fk, v)
-    tau = [jnp.zeros_like(like) for _ in range(14)]
+    bias = [jnp.zeros_like(like) for _ in range(NV)]
+    for d, b in enumerate(rne_bias(ac, fk, v)):
+        bias[d] = b
+    # block dofs: gravity on z slides (pure translation, no vel products)
+    blk_inv = {}
+    for bl in aw.blocks:
+        for axis, d in zip(bl.axes, bl.vadr):
+            blk_inv[d] = float(bl.inv_mass)
+            if axis == 2:
+                bias[d] = jnp.full_like(like, float(ac.gravity) / bl.inv_mass)
+    tau = [jnp.zeros_like(like) for _ in range(NV)]
     for u in range(8):
         c = jnp.clip(ctrl[u], -ac.ctrl_hi, ac.ctrl_hi)
         dof = ac.act_dofadr[u]
@@ -663,29 +791,51 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
 
     rhs0 = [tau[i] - bias[i] for i in range(14)]
     qacc0, L = chol_solve(M, rhs0)
+    qacc0 = list(qacc0) + [
+        (tau[d] - bias[d]) * float(blk_inv[d]) for d in range(14, NV)
+    ]
 
     # M⁻¹ columns needed: limited dofs (6..13) + contact rows use full Minv
     eye_cols = []
     for d in range(14):
         e = [jnp.full_like(like, 1.0 if i == d else 0.0) for i in range(14)]
         col, _ = chol_solve(M, e)
-        eye_cols.append(col)  # Minv[:, d]
+        eye_cols.append(col)  # Minv[:, d] (ant block)
 
-    f_con = [jnp.zeros_like(like) for _ in range(14)]
+    def minv_entry(d1, d2):
+        """Minv[d1, d2] as a lane scalar / python float, or None if 0."""
+        if d1 < 14 and d2 < 14:
+            return eye_cols[d2][d1]
+        if d1 == d2:
+            return blk_inv[d1]
+        return None
 
-    # joint limits (engine.limit_force parity)
+    def minv_diag(d):
+        return eye_cols[d][d] if d < 14 else blk_inv[d]
+
+    f_con = [jnp.zeros_like(like) for _ in range(NV)]
+
+    # joint limits (engine.limit_force parity) — ant hips/ankles + block
+    # slide travel limits (the block-vs-wall collision analog)
     tc = float(max(0.02, 2.0 * ac.timestep))
     d0l, dmaxl, widthl = 0.9, 0.95, 0.001
     b_imp_l = 2.0 / (dmaxl * tc)
-    ranges = [ac.hip_range if u % 2 == 0 else tuple(ac.ankle_ranges[u // 2])
-              for u in range(8)]
-    for u in range(8):
-        dof = 6 + u
-        lo, hi = ranges[u]
-        qd = q[7 + u]
+    limited = [
+        (6 + u,
+         ac.hip_range if u % 2 == 0 else tuple(ac.ankle_ranges[u // 2]))
+        for u in range(8)
+    ]
+    for bl in aw.blocks:
+        for d, rng in zip(bl.vadr, bl.ranges):
+            limited.append((d, rng))
+    for dof, (lo, hi) in limited:
+        qd = q[dof + 1]  # qpos index of a non-free dof = vdof + 1
         vd = v[dof]
         a0 = qacc0[dof]
-        m_eff = 1.0 / jnp.maximum(eye_cols[dof][dof], 1e-12)
+        if dof < 14:
+            m_eff = 1.0 / jnp.maximum(minv_diag(dof), 1e-12)
+        else:
+            m_eff = 1.0 / max(blk_inv[dof], 1e-12)  # python constant
         for sign, viol in (
             (1.0, jnp.maximum(qd - hi, 0.0)),
             (-1.0, jnp.maximum(lo - qd, 0.0)),
@@ -698,8 +848,25 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
             f_out = jnp.minimum(f_out, 0.0)
             f_con[dof] = f_con[dof] + jnp.where(active, sign * f_out, 0.0)
 
+    # floor-support impedance for falling blocks (envs/env.py support_qfrc
+    # parity: blocks slide with bottom on the global floor plane, z >= 0)
+    for bl in aw.blocks:
+        if bl.falling_zdof < 0:
+            continue
+        d = bl.falling_zdof
+        tcs = float(max(0.02, 2.0 * ac.timestep))
+        d_imp, b_imp_s = 0.95, 2.0 / (0.95 * tcs)
+        k_imp_s = 0.95 / (0.95**2 * tcs**2)
+        z = q[d + 1]
+        r_s = jnp.minimum(z, 0.0)
+        A_s = blk_inv[d] + 1e-9
+        aref = -b_imp_s * v[d] - k_imp_s * r_s
+        f_s = d_imp * (aref - qacc0[d]) / A_s
+        f_s = jnp.maximum(f_s, 0.0)
+        f_con[d] = f_con[d] + jnp.where(z < 0.01, f_s, 0.0)
+
     # contacts
-    rows = _contact_rows(ac, aw, fk)
+    rows = _contact_rows(ac, aw, fk, q)
     if rows:
         d0c, dmaxc, widthc = aw.solimp
         tcc = aw.solref_tc
@@ -707,7 +874,7 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
         mu = aw.friction
         # per-contact data: J rows (normal + 2 tangents) as sparse dof dicts
         con = []
-        for body, p, nrm, dist, margin in rows:
+        for body, p, nrm, dist, margin, xdofs in rows:
             # tangent frame
             use_x = jnp.abs(nrm.x) < 0.5
             ref = Vec3(jnp.where(use_x, 1.0, 0.0), jnp.where(use_x, 0.0, 1.0),
@@ -724,6 +891,10 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
                 for d in dofs:
                     W, J = jac[d]
                     row[d] = J.dot(direction)
+                # block dofs: relative velocity is sphere minus box, and a
+                # slide dof moves the box along its axis → entry -dir[axis]
+                for d, axis in xdofs:
+                    row[d] = -(direction.x, direction.y, direction.z)[axis]
                 return row
 
             con.append(dict(
@@ -731,19 +902,22 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
                 Jn=jrow(nrm), Jt1=jrow(t1), Jt2=jrow(t2), dofs=dofs,
             ))
 
-        def minv_mul(vec14):
+        def minv_mul(vec):
+            """Minv @ vec over the block-diagonal structure."""
             out = []
             for i in range(14):
                 s = jnp.zeros_like(like)
                 for j in range(14):
-                    s = s + eye_cols[j][i] * vec14[j]
+                    s = s + eye_cols[j][i] * vec[j]
                 out.append(s)
+            for d in range(14, NV):
+                out.append(vec[d] * float(blk_inv[d]))
             return out
 
-        def sparse_dot(row, vec14):
+        def sparse_dot(row, vec):
             s = jnp.zeros_like(like)
             for d, val in row.items():
-                s = s + val * vec14[d]
+                s = s + val * vec[d]
             return s
 
         # per-row A = J Minv Jᵀ via the row's sparse dof support
@@ -757,7 +931,10 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
                 A = jnp.zeros_like(like)
                 for d1, v1 in row.items():
                     for d2, v2 in row.items():
-                        A = A + v1 * eye_cols[d2][d1] * v2
+                        mv = minv_entry(d1, d2)
+                        if mv is None:
+                            continue
+                        A = A + v1 * mv * v2
                 A = A + 1e-9
                 v_r = sparse_dot(row, list(v))
                 a0_r = sparse_dot(row, qacc0)
@@ -800,7 +977,7 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
         omega = 0.6
         for _ in range(solver_iters):
             # x = Minv (Jᵀ f) accumulated densely
-            x = [jnp.zeros_like(like) for _ in range(14)]
+            x = [jnp.zeros_like(like) for _ in range(NV)]
             for rr, f in zip(all_rows, fs):
                 for d, val in rr["row"].items():
                     x[d] = x[d] + val * f
@@ -817,12 +994,16 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
 
     rhs = [tau[i] + f_con[i] - bias[i] for i in range(14)]
     qacc, _ = chol_solve(M, rhs)
+    qacc = list(qacc)
+    for d in range(14, NV):
+        qacc.append((tau[d] + f_con[d] - bias[d]) * float(blk_inv[d]))
     return tuple(qacc)
 
 
 def integrate_ant(q, v, h):
     """q ⊞ v·h with MuJoCo free-joint semantics (engine.integrate_pos
-    parity: world-frame linear, body-frame angular exponential)."""
+    parity: world-frame linear, body-frame angular exponential).  Extra
+    trailing block slide dofs (len(q) > 15) integrate linearly."""
     out = list(q)
     for i in range(3):
         out[i] = q[i] + v[i] * h
@@ -842,7 +1023,7 @@ def integrate_ant(q, v, h):
     nz = qw * dz + qx * dy - qy * dx + qz * dw
     norm = jnp.sqrt(nw * nw + nx * nx + ny * ny + nz * nz)
     out[3], out[4], out[5], out[6] = nw / norm, nx / norm, ny / norm, nz / norm
-    for i in range(7, 15):
+    for i in range(7, len(q)):
         out[i] = q[i] + v[i - 1] * h
     return tuple(out)
 

@@ -29,12 +29,26 @@ from .ant_math import (
     world_from_spec,
 )
 
-NQ, NV, NU = 15, 14, 8
+NQ, NV, NU = 15, 14, 8  # ant-only dof counts; worlds with blocks add dofs
+
+# Block worlds add 9 sphere-vs-moving-box contact rows per block to the live
+# set, growing the kernel's scoped-VMEM stack past the 16 MiB default
+# (measured 20.2M @ tile=512 with 1 block on v5e; VMEM is 128 MiB/core).
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _default_tile(aw, tile):
+    """Halve the lane tile once per two blocks to bound stack growth."""
+    if tile is not None:
+        return tile
+    return max(128, 512 >> (len(aw.blocks) // 2))
 
 
 class AntEnvKernelSpec(NamedTuple):
     ac: AntConsts
     aw: AntWorld
+    nq: int                  # 15 + block slide dofs
+    nv: int                  # 14 + block slide dofs
     qpos0: np.ndarray
     goal_pos: np.ndarray
     goal_dim_mask: np.ndarray
@@ -52,13 +66,15 @@ class AntEnvKernelSpec(NamedTuple):
 
 def spec_from_env(spec, solver_iters: int = 10) -> AntEnvKernelSpec:
     assert spec.robot.NAME == "Ant"
-    assert not spec.block_runtimes and not spec.ball_runtimes, (
-        "ant kernel supports object-free mazes"
+    assert not spec.ball_runtimes, (
+        "ant kernel supports maze + movable-block worlds (no object balls)"
     )
     g = spec.heads.goals
     return AntEnvKernelSpec(
         ac=consts_from_model(spec.dynamic_model),
-        aw=world_from_spec(spec),
+        aw=world_from_spec(spec),  # asserts slide-only blocks (no SPIN)
+        nq=int(spec.nq),
+        nv=int(spec.nv),
         qpos0=np.asarray(spec.dynamic_model.qpos0, np.float32),
         goal_pos=np.asarray(g.pos, np.float32),
         goal_dim_mask=np.asarray(g.dim_mask, np.float32),
@@ -167,19 +183,20 @@ def _env_step(es: AntEnvKernelSpec, q, v, t, ctrl, hs_read, ws_read):
 
 
 def build_rollout_kernel(es: AntEnvKernelSpec, num_envs: int, num_steps: int,
-                         tile: int = 512, interpret: bool = None):
-    tile = min(tile, num_envs)
+                         tile: int | None = None, interpret: bool = None):
+    tile = min(_default_tile(es.aw, tile), num_envs)
     assert num_envs % tile == 0
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     grid = (num_envs // tile,)
+    nq, nv = es.nq, es.nv
 
     def kernel(qpos_ref, qvel_ref, t_ref, seed_ref, hs_ref, ws_ref,
                out_qpos, out_qvel, out_t, out_rew, out_eps):
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
-        q = tuple(qpos_ref[i, :] for i in range(NQ))
-        v = tuple(qvel_ref[i, :] for i in range(NV))
+        q = tuple(qpos_ref[i, :] for i in range(nq))
+        v = tuple(qvel_ref[i, :] for i in range(nv))
         t = t_ref[0, :]
         hs_read = lambda i: hs_ref[i]
         ws_read = lambda i: ws_ref[i]
@@ -194,19 +211,25 @@ def build_rollout_kernel(es: AntEnvKernelSpec, num_envs: int, num_steps: int,
                 es, q, v, t, ctrl, hs_read, ws_read
             )
             done = term | trunc
-            # reset: qpos0 + U(±0.1) (quat renormalized), qvel ~ N(0, 0.1)
+            # reset: ant qpos0 + U(±0.1) (quat renormalized), qvel ~
+            # N(0, 0.1); world/block dofs zeroed (models/ant.py
+            # ZERO_WORLD_DOFS_ON_RESET parity)
             q_r = [
                 np.float32(es.qpos0[i]) + _uniform(
                     (tile,), np.float32(-0.1), np.float32(0.1)
                 )
                 for i in range(NQ)
+            ] + [
+                q[i] * 0 + float(es.qpos0[i]) for i in range(NQ, nq)
             ]
             qn = jnp.sqrt(
                 q_r[3] ** 2 + q_r[4] ** 2 + q_r[5] ** 2 + q_r[6] ** 2
             )
             for j in range(3, 7):
                 q_r[j] = q_r[j] / qn
-            v_r = [_normal((tile,)) * np.float32(0.1) for _ in range(NV)]
+            v_r = [_normal((tile,)) * np.float32(0.1) for _ in range(NV)] + [
+                v[i] * 0 for i in range(NV, nv)
+            ]
             q = tuple(jnp.where(done, qr, qq) for qr, qq in zip(q_r, q))
             v = tuple(jnp.where(done, vr, vv) for vr, vv in zip(v_r, v))
             t = jnp.where(done, 0, t)
@@ -217,9 +240,9 @@ def build_rollout_kernel(es: AntEnvKernelSpec, num_envs: int, num_steps: int,
             (q, v, t, jnp.zeros((tile,), jnp.float32),
              jnp.zeros((tile,), jnp.int32)),
         )
-        for i in range(NQ):
+        for i in range(nq):
             out_qpos[i, :] = q[i]
-        for i in range(NV):
+        for i in range(nv):
             out_qvel[i, :] = v[i]
         out_t[0, :] = t
         out_rew[0, :] = rew_sum
@@ -229,28 +252,29 @@ def build_rollout_kernel(es: AntEnvKernelSpec, num_envs: int, num_steps: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((NQ, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NV, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((NQ, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NV, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NQ, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((NV, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((nq, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((nv, num_envs), jnp.float32),
             jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
             jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
             jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )
 
     h = np.float32(es.ac.timestep)
@@ -272,28 +296,29 @@ def build_rollout_kernel(es: AntEnvKernelSpec, num_envs: int, num_steps: int,
     return rollout
 
 
-def build_step_kernel(es: AntEnvKernelSpec, num_envs: int, tile: int = 512,
-                      interpret: bool = None):
+def build_step_kernel(es: AntEnvKernelSpec, num_envs: int,
+                      tile: int | None = None, interpret: bool = None):
     """Single-step with explicit actions, no auto-reset (differential
     testing vs MazeEnvSpec.step)."""
-    tile = min(tile, num_envs)
+    tile = min(_default_tile(es.aw, tile), num_envs)
     assert num_envs % tile == 0
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     grid = (num_envs // tile,)
+    nq, nv = es.nq, es.nv
 
     def kernel(qpos_ref, qvel_ref, t_ref, act_ref, hs_ref, ws_ref,
                out_qpos, out_qvel, out_t, out_rew, out_term):
-        q = tuple(qpos_ref[i, :] for i in range(NQ))
-        v = tuple(qvel_ref[i, :] for i in range(NV))
+        q = tuple(qpos_ref[i, :] for i in range(nq))
+        v = tuple(qvel_ref[i, :] for i in range(nv))
         t = t_ref[0, :]
         ctrl = tuple(act_ref[i, :] for i in range(NU))
         q, v, t, reward, term, trunc = _env_step(
             es, q, v, t, ctrl, lambda i: hs_ref[i], lambda i: ws_ref[i]
         )
-        for i in range(NQ):
+        for i in range(nq):
             out_qpos[i, :] = q[i]
-        for i in range(NV):
+        for i in range(nv):
             out_qvel[i, :] = v[i]
         out_t[0, :] = t
         out_rew[0, :] = reward
@@ -303,28 +328,29 @@ def build_step_kernel(es: AntEnvKernelSpec, num_envs: int, tile: int = 512,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((NQ, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NV, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((NU, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((NQ, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NV, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NQ, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((NV, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((nq, num_envs), jnp.float32),
+            jax.ShapeDtypeStruct((nv, num_envs), jnp.float32),
             jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
             jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
             jax.ShapeDtypeStruct((1, num_envs), jnp.bool_),
         ],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )
 
     h = np.float32(es.ac.timestep)

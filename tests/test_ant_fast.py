@@ -122,13 +122,80 @@ def test_trajectory_matches_env(ant_setup):
 
 
 def test_kernel_spec_guards():
-    """The fused kernel is object-free-ant only; spec_from_env rejects
-    block/ball mazes instead of silently mis-simulating."""
+    """The fused kernel covers maze + movable-block worlds; object-ball
+    mazes are rejected instead of silently mis-simulated."""
     from mujoco_maze_tpu.ops import ant_pallas as ap
 
-    env = mmt.make_batched("AntPush-v0", num_envs=2)
+    env = mmt.make_batched("AntSmallBilliard-v0", num_envs=2)
     with pytest.raises(AssertionError):
         ap.spec_from_env(env.spec)
+    # block worlds (AntPush/AntFall — the BASELINE benchmark configs) build
+    env = mmt.make_batched("AntPush-v0", num_envs=2)
+    es = ap.spec_from_env(env.spec)
+    assert es.nq == 17 and es.nv == 16 and len(es.aw.blocks) == 1
+
+
+@pytest.mark.parametrize("env_id", ["AntPush-v0", "AntFall-v0"])
+def test_block_forward_matches_engine(env_id):
+    """Block-world forward dynamics (sphere-vs-moving-box contacts, slide
+    travel limits, falling-block floor support) vs the generic engine.
+
+    Reference analog: the movable-block world synthesis at
+    `maze_env.py:563-633` is first-class for Ant (AntPush/AntFall)."""
+    from mujoco_maze_tpu.physics import contact as contact_mod
+
+    env = mmt.make_batched(env_id, num_envs=2, auto_reset=False)
+    spec = env.spec
+    ac = consts_from_model(spec.dynamic_model)
+    aw = world_from_spec(spec)
+    model = spec.dynamic_model
+    cset = spec.contact_set
+    _, chain_mask, _, _ = eng.get_masks(model)
+
+    def extra_cb(kd, qacc0, Minv, qvel_now):
+        qfrc = contact_mod.contact_qfrc(
+            model, cset, kd, qvel_now, qacc0, Minv, chain_mask
+        )
+        return qfrc + spec.engine_support_qfrc(kd, qacc0, Minv, qvel_now)
+
+    rng = np.random.RandomState(0)
+    for seed in range(2):
+        qpos = np.asarray(spec.dynamic_model.qpos0, np.float64).copy()
+        qpos[:15] += rng.uniform(-0.08, 0.08, 15)
+        qpos[3:7] /= np.linalg.norm(qpos[3:7])
+        qpos[15:] += rng.uniform(-0.05, 0.05, spec.nq - 15)
+        qvel = rng.randn(spec.nv) * 0.3
+        ctrl = rng.uniform(-30, 30, 8)
+        qpos, qvel, ctrl = jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl)
+        qacc_ref = eng.forward(model, qpos, qvel, ctrl, extra_qfrc=extra_cb)
+        qacc = forward_ant(
+            ac, aw, _cols(qpos), _cols(qvel), _cols(ctrl), solver_iters=10
+        )
+        qacc = jnp.stack([a[0] for a in qacc])
+        err = float(jnp.abs(qacc - qacc_ref).max())
+        rel = err / (1.0 + float(jnp.abs(qacc_ref).max()))
+        assert rel < 5e-5, f"seed {seed}: rel err {rel}"
+
+
+def test_block_trajectory_matches_env():
+    """One full AntPush env step (contacts + block coupling active) stays
+    glued to the generic-engine env path."""
+    env = mmt.make_batched("AntPush-v0", num_envs=2, auto_reset=False)
+    spec = env.spec
+    ac = consts_from_model(spec.dynamic_model)
+    aw = world_from_spec(spec)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    q = _cols(state.qpos[0])
+    v = _cols(state.qvel[0])
+    rng = np.random.RandomState(0)
+    ctrl = jnp.asarray(rng.uniform(-30, 30, (2, 8)), jnp.float32)
+    res = env.step(state, ctrl)
+    cc = _cols(ctrl[0])
+    for _ in range(spec.robot.frame_skip):
+        q, v = rk4_step_ant(ac, aw, q, v, cc, solver_iters=10)
+    ref_q = np.asarray(res.state.qpos[0])
+    got_q = np.asarray([q[i][0] for i in range(spec.nq)])
+    assert np.abs(got_q - ref_q).max() < 5e-4
 
 
 @pytest.mark.skipif(
@@ -137,11 +204,12 @@ def test_kernel_spec_guards():
     "validated on TPU (qpos 5e-5 / qvel 5e-4 vs f64 engine truth, "
     "60-90x tighter than the f32 XLA env path)",
 )
-def test_step_kernel_tpu_differential():
+@pytest.mark.parametrize("env_id", ["AntUMaze-v0", "AntPush-v0"])
+def test_step_kernel_tpu_differential(env_id):
     from mujoco_maze_tpu.ops import ant_pallas as ap
 
     B = 256
-    env = mmt.make_batched("AntUMaze-v0", num_envs=B, auto_reset=False)
+    env = mmt.make_batched(env_id, num_envs=B, auto_reset=False)
     es = ap.spec_from_env(env.spec, solver_iters=10)
     step_k = ap.build_step_kernel(es, B, tile=B)
     state, _ = env.reset(jax.random.PRNGKey(0))
