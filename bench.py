@@ -1,14 +1,18 @@
 """Headline benchmark: PointUMaze env-steps/s/chip at 4096 parallel envs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 Baseline: the driver north star of 1M env-steps/s/chip on PointUMaze @4096
 envs (BASELINE.json; the reference publishes no perf numbers — BASELINE.md).
 
-Two measurement paths over identical env semantics:
-* the fused Pallas rollout kernel (state resident in VMEM, batch-on-lanes,
-  on-core PRNG; bit-exact vs the XLA step — tests/test_pallas.py), and
-* the generic XLA `lax.scan` path as fallback.
-The reported number is the best of the paths that ran.
+The headline value is the best PointUMaze rep across paths; "detail" records
+every rep for every measured config/path so run-to-run variance is visible
+(round-1 claim/capture discrepancy — VERDICT.md Weak #1):
+
+* PointUMaze-v0: fused Pallas rollout kernel (state resident in VMEM,
+  batch-on-lanes, on-core PRNG; bit-exact vs the XLA step) and the generic
+  XLA `lax.scan` path.
+* AntUMaze-v0 / AntPush-v0 (BASELINE.json benchmark configs): the fused
+  contact-dynamics ant kernel (AntPush exercises the movable-block world).
 """
 
 from __future__ import annotations
@@ -18,27 +22,38 @@ import time
 
 NUM_ENVS = 4096
 STEPS = 1024
-REPS = 3
+ANT_STEPS = 128
+REPS = 5
 BASELINE_STEPS_PER_S = 1.0e6
 
 
-def _bench_xla(env, state, key_base: int) -> float:
+def _time_reps(fn, sync, reps=REPS):
+    """Per-rep env-steps/s, warm (first call compiled + discarded)."""
+    rates = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        sync(fn(rep))
+        rates.append(1.0 / (time.perf_counter() - t0))
+    return rates
+
+
+def _bench_xla(env, state, key_base: int) -> list:
     import jax
 
     policy = env.random_policy()
     roll = jax.jit(lambda s, k: env.rollout_metrics(s, policy, STEPS, k))
-    out = roll(state, jax.random.PRNGKey(key_base))
-    jax.block_until_ready(out[0].qpos)
-    best = 0.0
-    for rep in range(REPS):
-        t0 = time.perf_counter()
-        out = roll(out[0], jax.random.PRNGKey(key_base + 1 + rep))
-        jax.block_until_ready(out[0].qpos)
-        best = max(best, NUM_ENVS * STEPS / (time.perf_counter() - t0))
-    return best
+    out = [roll(state, jax.random.PRNGKey(key_base))]
+    jax.block_until_ready(out[0][0].qpos)
+
+    def run(rep):
+        out[0] = roll(out[0][0], jax.random.PRNGKey(key_base + 1 + rep))
+        return out[0]
+
+    rates = _time_reps(run, lambda o: jax.block_until_ready(o[0].qpos))
+    return [r * NUM_ENVS * STEPS for r in rates]
 
 
-def _bench_pallas(spec, state) -> float:
+def _bench_pallas_point(spec, state) -> list:
     import jax
     import jax.numpy as jnp
 
@@ -46,17 +61,39 @@ def _bench_pallas(spec, state) -> float:
 
     ks = pp.spec_from_env(spec)
     roll = pp.build_rollout_kernel(ks, NUM_ENVS, STEPS)
-    qp, qv, t, _, _ = roll(
-        state.qpos, state.qvel, state.t, jnp.asarray(7, jnp.int32)
-    )
-    jax.block_until_ready(qp)
-    best = 0.0
-    for rep in range(REPS):
-        t0 = time.perf_counter()
-        qp, qv, t, _, _ = roll(qp, qv, t, jnp.asarray(rep, jnp.int32))
-        jax.block_until_ready(qp)
-        best = max(best, NUM_ENVS * STEPS / (time.perf_counter() - t0))
-    return best
+    carry = [roll(state.qpos, state.qvel, state.t, jnp.asarray(7, jnp.int32))]
+    jax.block_until_ready(carry[0][0])
+
+    def run(rep):
+        qp, qv, t, _, _ = carry[0]
+        carry[0] = roll(qp, qv, t, jnp.asarray(rep, jnp.int32))
+        return carry[0]
+
+    rates = _time_reps(run, lambda o: jax.block_until_ready(o[0]))
+    return [r * NUM_ENVS * STEPS for r in rates]
+
+
+def _bench_pallas_ant(env_id: str) -> list:
+    import jax
+    import jax.numpy as jnp
+
+    import mujoco_maze_tpu as mmt
+    from mujoco_maze_tpu.ops import ant_pallas as ap
+
+    env = mmt.make_batched(env_id, num_envs=NUM_ENVS)
+    es = ap.spec_from_env(env.spec)
+    roll = ap.build_rollout_kernel(es, NUM_ENVS, ANT_STEPS)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    carry = [roll(state.qpos, state.qvel, state.t, jnp.asarray(7, jnp.int32))]
+    jax.block_until_ready(carry[0][0])
+
+    def run(rep):
+        qp, qv, t, _, _ = carry[0]
+        carry[0] = roll(qp, qv, t, jnp.asarray(rep, jnp.int32))
+        return carry[0]
+
+    rates = _time_reps(run, lambda o: jax.block_until_ready(o[0]))
+    return [r * NUM_ENVS * ANT_STEPS for r in rates]
 
 
 def main() -> None:
@@ -67,14 +104,24 @@ def main() -> None:
     env = mmt.make_batched("PointUMaze-v0", num_envs=NUM_ENVS)
     state, _ = env.reset(jax.random.PRNGKey(0))
 
-    results = {}
+    detail = {}
     try:
-        results["pallas"] = _bench_pallas(env.spec, state)
-    except Exception:
-        pass
-    results["xla"] = _bench_xla(env, state, key_base=1)
+        detail["PointUMaze-v0/pallas"] = _bench_pallas_point(env.spec, state)
+    except Exception as e:  # no TPU / kernel unavailable
+        detail["PointUMaze-v0/pallas_error"] = repr(e)[:200]
+    detail["PointUMaze-v0/xla"] = _bench_xla(env, state, key_base=1)
+    for env_id in ("AntUMaze-v0", "AntPush-v0"):
+        try:
+            detail[f"{env_id}/pallas"] = _bench_pallas_ant(env_id)
+        except Exception as e:
+            detail[f"{env_id}/pallas_error"] = repr(e)[:200]
 
-    best = max(results.values())
+    point_rates = [
+        r
+        for k in ("PointUMaze-v0/pallas", "PointUMaze-v0/xla")
+        for r in detail.get(k, [])
+    ]
+    best = max(point_rates)
     print(
         json.dumps(
             {
@@ -82,6 +129,10 @@ def main() -> None:
                 "value": round(best, 0),
                 "unit": "env-steps/s",
                 "vs_baseline": round(best / BASELINE_STEPS_PER_S, 2),
+                "detail": {
+                    k: (v if isinstance(v, str) else [round(x, 0) for x in v])
+                    for k, v in detail.items()
+                },
             }
         )
     )
