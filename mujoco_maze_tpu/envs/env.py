@@ -28,6 +28,7 @@ from ..maze.cells import MazeCell
 from ..maze.structure import MazeStructure, analyze_maze, with_ball_size
 from ..models.base import Robot
 from ..ops import segments
+from ..physics import point_world
 from ..tasks.core import MazeTask, TaskHeads
 
 GRAVITY = 9.81
@@ -118,6 +119,20 @@ class MazeEnvSpec:
             self.walls = self._to_dtype_walls(segments.pad_walls(segs, max(len(segs), 1)))
         else:
             self.walls = None
+
+        # exact mj_step replica for the Point robot (physics/point_world.py):
+        # used in fidelity mode (dtype float64) — the float32 production path
+        # keeps the closed-form residual + impedance maps, which are ~100x
+        # cheaper and mm-accurate.  The replica needs float64 for its
+        # bit-exact floor-contact switch anyway.
+        self.point_world = None
+        if (robot.MANUAL_COLLISION and dtype == jnp.float64
+                and getattr(robot, "USES_POINT_WORLD", False)):
+            self.point_world = (
+                point_world.params_for_world(
+                    any_blocks=bool(ms.movable_blocks), dt=robot.timestep),
+                point_world.wall_boxes_from_structure(ms, dtype=jnp.float64),
+            )
         ball_segs = ms.wall_segments(self.task.OBJECT_BALL_SIZE)
         self.objball_walls = self._to_dtype_walls(
             segments.pad_walls(ball_segs, max(len(ball_segs), 1))
@@ -814,29 +829,66 @@ class MazeEnvSpec:
         # robot kinematics + full-state velocity clip (point.py:44-57)
         qpos, qvel = robot.kinematic_step(qpos, qvel, action.astype(self.dtype))
         kin_xy = qpos[:2]
-        # engine residual: drift + friction
-        qpos, qvel = robot.residual_step(qpos, qvel)
-        # world objects: blocks pushed at the robot's post-move position
-        if self.block_runtimes:
-            qpos, qvel = self._push_blocks(qpos, qvel, qpos[:2], dt)
-        if self.ball_runtimes:
-            qpos, qvel = self._step_balls(
-                qpos, qvel, qpos[:2], qpos[:2] - old_xy, dt
-            )
-        # robot wall resolution (maze_env.py:457-464)
+        if self.point_world is not None:
+            # fidelity mode: exact mj_step replica (RK4 over smooth dynamics
+            # + MuJoCo's soft contact model, physics/point_world.py) — the
+            # per-step residual matches MuJoCo 3 bit-exactly on contact-free
+            # steps and to solver tolerance on wall presses.
+            pwp, pwb = self.point_world
+            q3, v3 = point_world.rk4_step(pwp, pwb, qpos[:3], qvel[:3])
+            qpos = qpos.at[:3].set(q3)
+            qvel = qvel.at[:3].set(v3)
+            if self.block_runtimes:
+                qpos, qvel = self._push_blocks(qpos, qvel, qpos[:2], dt)
+            if self.ball_runtimes:
+                qpos, qvel = self._step_balls(
+                    qpos, qvel, qpos[:2], qpos[:2] - old_xy, dt
+                )
+        else:
+            # fast path: closed-form smooth residual + derived impedance maps
+            qpos, qvel = robot.residual_step(qpos, qvel)
+            # world objects: blocks pushed at the robot's post-move position
+            if self.block_runtimes:
+                qpos, qvel = self._push_blocks(qpos, qvel, qpos[:2], dt)
+            if self.ball_runtimes:
+                qpos, qvel = self._step_balls(
+                    qpos, qvel, qpos[:2], qpos[:2] - old_xy, dt
+                )
+            # wall-contact ejection: the robot geom radius exceeds the
+            # manual detector's inflation, so pressing into a wall overlaps
+            # the geoms and mj_step responds with the contact-impedance
+            # velocity map — evaluated at the position mj_step saw (pre
+            # manual resolution), constants derived (models/point.py).
+            margin = getattr(robot, "WALL_CONTACT_MARGIN", 0.0)
+            if margin > 0.0:
+                qvel = qvel.at[:2].add(
+                    segments.impedance_eject(
+                        self.walls, qpos[:2], qvel[:2], margin,
+                        robot.CONTACT_LAM, robot.timestep, robot.CONTACT_MU,
+                        old=old_xy,
+                    )
+                )
+            # arrow-box tip contacts: slide+hinge impedance response when
+            # the arrow (reaching 1.1 from the origin) presses into a wall
+            for tip_body in getattr(robot, "ARROW_TIPS", ()):
+                th = qpos[2]
+                ct, st = jnp.cos(th), jnp.sin(th)
+                tip = qpos[:2] + jnp.stack(
+                    [tip_body[0] * ct - tip_body[1] * st,
+                     tip_body[0] * st + tip_body[1] * ct]
+                )
+                qvel = qvel.at[:3].add(
+                    segments.tip_impedance_eject(
+                        self.walls, qpos[:2], tip, qvel[:3], th,
+                        robot.RADIUS, robot.CONTACT_LAM, robot.timestep,
+                        robot.BODY_MASS, robot.COUPLE_ARM,
+                        robot.SPIN_INERTIA_PRIME, old=old_xy,
+                    )
+                )
         new_xy = qpos[:2]
+        # robot wall resolution (maze_env.py:457-464)
         resolved = segments.resolve(self.walls, old_xy, new_xy, self.restitution_coef)
         qpos = qpos.at[:2].set(resolved)
-        # wall-contact ejection: the robot geom radius exceeds the manual
-        # detector's inflation, so pressing into a wall overlaps the geoms
-        # and the engine responds with a large outward contact velocity
-        # (observed in reference mj rollouts; see models/point.py constants)
-        margin = getattr(robot, "WALL_CONTACT_MARGIN", 0.0)
-        if margin > 0.0:
-            push = segments.penetration_push(self.walls, resolved, margin)
-            qvel = qvel.at[:2].add(
-                push * (getattr(robot, "WALL_EJECT_GAIN", 1.0) / dt)
-            )
         new_state = EnvState(
             qpos=qpos, qvel=qvel, t=state.t + 1, key=state.key,
             goal_pos=state.goal_pos,

@@ -4,11 +4,12 @@ TPU-native port of the reference PointEnv
 (`/root/reference/mujoco_maze/point.py`): 2 actions (forward gain, rotation
 delta), direct qpos integration, velocity clipping, manual wall collision
 (owned by the env layer).  The reference additionally calls ``mj_step`` once
-per step (point.py:58-59); measured against MuJoCo 3 that residual is exactly
-``qpos += qvel * dt`` plus a small contact-friction decay of the slide
-velocities (the ball's sphere rests on the floor plane), which we model with
-a calibrated multiplicative decay — millimeter-scale relative to the
-kinematic action updates.
+per step (point.py:58-59); probed against MuJoCo 3 that residual is exactly
+``qpos += qvel * dt`` plus the centrifugal slide acceleration from the
+off-axis COM under hinge spin (closed form below), plus — only when the body
+sphere overlaps a wall — the impedance ejection response modeled in
+``ops/segments.impedance_eject``.  All constants are derived from the model,
+none calibrated.
 """
 
 from __future__ import annotations
@@ -28,6 +29,9 @@ class PointRobot(Robot):
     ORI_IND = 2
     RADIUS = 0.4
     OBJBALL_TYPE = "hinge"
+    # float64 specs route the residual through the exact mj_step replica
+    # (physics/point_world.py); float32 keeps the closed-form fast path.
+    USES_POINT_WORLD = True
 
     VELOCITY_LIMITS: float = 10.0
 
@@ -38,16 +42,48 @@ class PointRobot(Robot):
     timestep = 0.02     # point.xml:3
     obs_dim = 6         # qpos[:3] + qvel[:3]  (point.py:63-69)
 
-    # Contact-friction decay of slide qvel per mj_step, calibrated against
-    # MuJoCo 3 rollouts of assets/point.xml (see tests/test_point_golden.py).
-    FRICTION_DECAY: float = 0.10
+    # --- derived mj_step residual constants (no calibration) -----------
+    # Probing MuJoCo 3 on the composed world shows the floor contact exerts
+    # NO force on the slide dofs (z is not a dof, dist stays exactly 0, so
+    # the normal force — and with it sliding friction — is zero): slide
+    # velocities persist exactly.  The only smooth residual is the
+    # centrifugal coupling from the hinge spin, because the arrow box
+    # (1.0x0.2x0.2 @ x=+0.6, point.xml:23) puts the COM off the rotation
+    # axis:  m_sphere = rho*(4/3)*pi*0.5^3 = 52.360, m_box = rho*0.04 = 4.0
+    # (rho = 100, point.xml geom density) ->
+    # r_com = m_box*0.6/(m_box+m_sphere) = 0.042584.
+    COM_OFFSET: float = 4.0 * 0.6 / (4.0 + 100.0 * (4.0 / 3.0) * np.pi * 0.125)
+
     # Wall-contact ejection: the body sphere (0.5, point.xml:22) is larger
     # than the manual-collision inflation RADIUS (0.4, point.py:31), so
-    # pressing against a wall overlaps the geoms by up to 0.1 and MuJoCo
-    # ejects with a large outward qvel.  margin = 0.5 - RADIUS; gain
-    # calibrated on goldens.
+    # pressing against a wall overlaps the geoms by up to margin =
+    # 0.5 - RADIUS.  MuJoCo's response is the critically damped impedance
+    # map (ops/segments.impedance_eject) with rate lam = 1/tc_eff where
+    # tc_eff = max(solref_tc, 2*dt) = max(0.02, 0.04) (solref default 0.02,
+    # clamped by mjMINVAL rule to two timesteps) and slide friction mu = 1.0
+    # (point.xml default friction).
     WALL_CONTACT_MARGIN: float = 0.1
-    WALL_EJECT_GAIN: float = 2.0
+    CONTACT_LAM: float = 1.0 / 0.04      # = 1/max(0.02, 2*0.02)
+    CONTACT_MU: float = 1.0
+
+    # Arrow-box wall contact (ops/segments.tip_impedance_eject): the box
+    # reaches 1.1 past the body origin (pos 0.6 + half 0.5, point.xml:23) —
+    # far beyond the 0.4 manual-collision radius — so pressing ori-first
+    # into a wall produces large slide *and hinge* responses.  Leading
+    # corners in body frame:
+    ARROW_TIPS = ((1.1, 0.1), (1.1, -0.1))
+    # Body mass matrix constants, derived from point.xml geom densities
+    # (rho=100): m = m_sphere + m_box; slide-rot coupling a = m_box*0.6;
+    # hinge inertia about origin I = 2/5*m_s*r² + m_b*(L²+W²)/12 + m_b*0.6²;
+    # COM spin inertia I' = I - a²/m.  All probed equal to MuJoCo's qM.
+    _M_SPH = 100.0 * (4.0 / 3.0) * np.pi * 0.125   # 52.35988
+    _M_BOX = 100.0 * (1.0 * 0.2 * 0.2)             # 4.0
+    BODY_MASS: float = _M_SPH + _M_BOX             # 56.35988
+    COUPLE_ARM: float = _M_BOX * 0.6               # 2.4
+    SPIN_INERTIA_PRIME: float = (
+        0.4 * _M_SPH * 0.25 + _M_BOX * (1.0**2 + 0.2**2) / 12.0
+        + _M_BOX * 0.6**2
+    ) - (_M_BOX * 0.6) ** 2 / (_M_SPH + _M_BOX)    # 6.92045
 
     def action_bounds(self) -> Tuple[np.ndarray, np.ndarray]:
         # Dummy-actuator ctrl ranges (point.xml:29-32).
@@ -94,11 +130,32 @@ class PointRobot(Robot):
     def residual_step(
         self, qpos: jnp.ndarray, qvel: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """The mj_step residual: drift by qvel, decay slide qvel by friction."""
-        qpos = qpos.at[:3].add(qvel[:3] * self.timestep)
-        decay = 1.0 - self.FRICTION_DECAY
-        qvel = qvel.at[0].mul(decay)
-        qvel = qvel.at[1].mul(decay)
+        """The smooth mj_step residual, in closed form.
+
+        Drift by qvel plus the exact centrifugal slide acceleration from the
+        off-axis COM under hinge spin ``w``:  a(s) = w^2 * r_com *
+        (cos(th + w s), sin(th + w s)), integrated analytically over the
+        step (matches MuJoCo RK4 to ~1e-7 per step; see COM_OFFSET note).
+        Slide velocities are NOT decayed — the floor contact is forceless
+        (z is not a dof).  Wall-contact response lives in the env layer
+        (ops/segments.impedance_eject).
+        """
+        dt = self.timestep
+        th = qpos[2]
+        w = qvel[2]
+        r = self.COM_OFFSET
+        # dv = w*r*[sin(th+w*dt)-sin(th)], -w*r*[cos(th+w*dt)-cos(th)]
+        dvx = w * r * (jnp.sin(th + w * dt) - jnp.sin(th))
+        dvy = -w * r * (jnp.cos(th + w * dt) - jnp.cos(th))
+        # position drift: integral of v(s); centrifugal double integral
+        #   dx = r*[cos(th)-cos(th+w*dt)] - w*r*sin(th)*dt  (and y analog)
+        ddx = r * (jnp.cos(th) - jnp.cos(th + w * dt)) - w * r * jnp.sin(th) * dt
+        ddy = r * (jnp.sin(th) - jnp.sin(th + w * dt)) + w * r * jnp.cos(th) * dt
+        qpos = qpos.at[:3].add(qvel[:3] * dt)
+        qpos = qpos.at[0].add(ddx)
+        qpos = qpos.at[1].add(ddy)
+        qvel = qvel.at[0].add(dvx)
+        qvel = qvel.at[1].add(dvy)
         return qpos, qvel
 
     def observe(self, qpos: jnp.ndarray, qvel: jnp.ndarray) -> jnp.ndarray:

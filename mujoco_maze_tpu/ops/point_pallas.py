@@ -43,9 +43,10 @@ class PointKernelSpec(NamedTuple):
     penalty: float
     scale: float
     restitution: float
-    friction_decay: float
+    com_offset: float          # centrifugal residual arm (models/point.py)
     eject_margin: float
-    eject_gain: float
+    eject_lam: float           # impedance rate 1/tc_eff
+    eject_mu: float            # slide friction
     dt: float
     episode_limit: int
     inner_scale: float
@@ -71,9 +72,10 @@ def spec_from_env(spec) -> PointKernelSpec:
         penalty=float(spec.task.PENALTY or 0.0),
         scale=float(spec.task.scale),
         restitution=float(spec.restitution_coef),
-        friction_decay=float(spec.robot.FRICTION_DECAY),
+        com_offset=float(spec.robot.COM_OFFSET),
         eject_margin=float(getattr(spec.robot, "WALL_CONTACT_MARGIN", 0.0)),
-        eject_gain=float(getattr(spec.robot, "WALL_EJECT_GAIN", 1.0)),
+        eject_lam=float(getattr(spec.robot, "CONTACT_LAM", 0.0)),
+        eject_mu=float(getattr(spec.robot, "CONTACT_MU", 0.0)),
         dt=float(spec.robot.timestep),
         episode_limit=1000,
         inner_scale=float(spec.inner_reward_scaling),
@@ -99,13 +101,19 @@ def _step_math(ks: PointKernelSpec, x, y, ori, vx, vy, vr, t, ax, ar):
     vx = jnp.clip(vx, -10.0, 10.0)
     vy = jnp.clip(vy, -10.0, 10.0)
     vr = jnp.clip(vr, -10.0, 10.0)
-    # mj residual: drift + friction decay
-    x = x + vx * dt
-    y = y + vy * dt
-    ori2 = ori + vr * dt
-    decay = np.float32(1.0 - ks.friction_decay)
-    vx = vx * decay
-    vy = vy * decay
+    # mj residual: drift + centrifugal slide coupling from the hinge spin
+    # (models/point.py residual_step — closed-form, no calibration)
+    r_com = np.float32(ks.com_offset)
+    sin0, cos0 = jnp.sin(ori), jnp.cos(ori)
+    ori_dt = ori + vr * dt
+    sin1, cos1 = jnp.sin(ori_dt), jnp.cos(ori_dt)
+    dvx = vr * r_com * (sin1 - sin0)
+    dvy = -vr * r_com * (cos1 - cos0)
+    x = x + vx * dt + r_com * (cos0 - cos1) - vr * r_com * sin0 * dt
+    y = y + vy * dt + r_com * (sin0 - sin1) + vr * r_com * cos0 * dt
+    ori2 = ori_dt
+    vx = vx + dvx
+    vy = vy + dvy
 
     def detect(ox, oy, nx, ny):
         """Nearest wall crossing of (ox,oy)→(nx,ny); returns
@@ -156,21 +164,15 @@ def _step_math(ks: PointKernelSpec, x, y, ori, vx, vy, vr, t, ax, ar):
             best_hit = best_hit | hit
         return best_hit, best_px, best_py, best_rx, best_ry
 
-    hit1, px, py, rx, ry = detect(old_x, old_y, x, y)
-    c = np.float32(ks.restitution)
-    bx = px + c * (rx - px)
-    by = py + c * (ry - py)
-    hit2, *_ = detect(old_x, old_y, bx, by)
-    resx = jnp.where(hit2, old_x, bx)
-    resy = jnp.where(hit2, old_y, by)
-    x = jnp.where(hit1, resx, x)
-    y = jnp.where(hit1, resy, y)
-
-    # wall-contact ejection (segment distance, unrolled)
+    # wall-contact ejection at the pre-resolution position (what mj_step
+    # saw): impedance map of ops/segments.impedance_eject, unrolled
     if ks.eject_margin > 0.0:
-        push_x = jnp.zeros_like(x)
-        push_y = jnp.zeros_like(y)
+        dv_x = jnp.zeros_like(x)
+        dv_y = jnp.zeros_like(y)
         m = np.float32(ks.eject_margin)
+        lam = np.float32(ks.eject_lam)
+        mu = np.float32(ks.eject_mu)
+        edecay = np.float32(np.exp(-ks.eject_lam * ks.dt))
         for w in range(len(ks.walls_mask)):
             if not ks.walls_mask[w]:
                 continue
@@ -184,11 +186,28 @@ def _step_math(ks: PointKernelSpec, x, y, ori, vx, vy, vr, t, ax, ar):
             ddx, ddy = x - cx, y - cy
             dist = jnp.sqrt(ddx * ddx + ddy * ddy + np.float32(1e-12))
             pen = jnp.maximum(m - dist, 0.0)
-            push_x = push_x + pen * ddx / dist
-            push_y = push_y + pen * ddy / dist
-        g_over_dt = np.float32(ks.eject_gain / ks.dt)
-        vx = vx + push_x * g_over_dt
-        vy = vy + push_y * g_over_dt
+            act = pen > 0.0
+            nx_, ny_ = ddx / dist, ddy / dist
+            vn = vx * nx_ + vy * ny_
+            vn2 = edecay * (vn - lam * (vn - lam * pen) * dt)
+            dvn = jnp.where(act, jnp.maximum(vn2 - vn, 0.0), 0.0)
+            vt = -vx * ny_ + vy * nx_
+            dvt = -jnp.sign(vt) * jnp.minimum(jnp.abs(vt), mu * dvn)
+            dvt = jnp.where(act, dvt, 0.0)
+            dv_x = dv_x + dvn * nx_ - dvt * ny_
+            dv_y = dv_y + dvn * ny_ + dvt * nx_
+        vx = vx + dv_x
+        vy = vy + dv_y
+
+    hit1, px, py, rx, ry = detect(old_x, old_y, x, y)
+    c = np.float32(ks.restitution)
+    bx = px + c * (rx - px)
+    by = py + c * (ry - py)
+    hit2, *_ = detect(old_x, old_y, bx, by)
+    resx = jnp.where(hit2, old_x, bx)
+    resy = jnp.where(hit2, old_y, by)
+    x = jnp.where(hit1, resx, x)
+    y = jnp.where(hit1, resy, y)
 
     t = t + 1
     # task heads on obs[:3] = (x, y, ori2)

@@ -13,6 +13,7 @@ All functions operate on a single env; wrap in ``jax.vmap`` for batches.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -104,16 +105,39 @@ def resolve(
     return jnp.where(c1.hit, corrected, new)
 
 
-def penetration_push(
-    walls: Walls, p: jnp.ndarray, margin: float
+def impedance_eject(
+    walls: Walls,
+    p: jnp.ndarray,
+    v: jnp.ndarray,
+    margin: float,
+    lam: float,
+    dt: float,
+    mu: float,
+    old: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Summed outward push direction for a point within ``margin`` of walls.
+    """One-step contact-impedance velocity response at a wall overlap.
 
-    Returns ``(2,)``: Σ over walls of ``max(0, margin - dist) * n̂`` where
-    ``dist`` is point-to-*segment* distance and ``n̂`` points from the wall
-    toward the point.  Models the contact ejection MuJoCo applies when the
-    robot's geom (radius > collision-detector inflation) overlaps a wall box
-    — observed in reference rollouts as large transient qvel.
+    Derived (not calibrated) model of what ``mj_step`` does when the robot
+    sphere overlaps a wall box by ``pen``: MuJoCo's Baumgarte reference
+    ``aref = -b*vn - k*r`` with solref time-constant clamped to
+    ``max(tc, 2*dt)`` is a critically damped oscillator with rate
+    ``lam = 1/tc_eff``; its exact one-step map from ``(r0=-pen, vn)`` is
+
+        vn' = exp(-lam*dt) * (vn - lam*(vn - lam*pen)*dt)
+
+    clamped to ``vn' >= vn`` (the contact can only push).  Probed against
+    MuJoCo 3 on the composed PointUMaze world: ejection from rest measures
+    7.59*pen vs the formula's 7.58*pen, and the velocity-dependent cases
+    match to ~3% (tools note in models/point.py).  Tangential slip decays
+    Coulomb-style: ``|dvt| <= mu * dvn`` (elliptic-cone residual ~15% is
+    accepted).  Returns the summed ``(2,)`` velocity delta over walls.
+
+    ``old`` (the pre-move position, always outside walls) orients the
+    signed distance so that a kinematic step that *crosses* a wall face
+    still reads deep positive penetration with an outward normal — the
+    regime where mj_step responds with multi-m/s ejections (its solver
+    forces reach 1e5; the normal-direction response still follows the
+    impedance map to ~15%, deep-contact friction torque is not modeled).
     """
     v1 = walls.p2 - walls.p1                                   # (W, 2)
     nrm2 = jnp.sum(v1 * v1, axis=-1)
@@ -123,9 +147,99 @@ def penetration_push(
     closest = walls.p1 + t[:, None] * v1                       # (W, 2)
     d = p[None, :] - closest
     dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
-    pen = jnp.maximum(margin - dist, 0.0) * walls.mask
-    n = d / dist[:, None]
-    return jnp.sum(pen[:, None] * n, axis=0)
+    if old is not None:
+        side = jnp.sign(jnp.sum((old[None, :] - closest) * d, axis=-1))
+        side = jnp.where(side == 0.0, 1.0, side)
+        dist = dist * side                                     # signed
+    pen = jnp.maximum(margin - dist, 0.0) * walls.mask         # (W,)
+    active = pen > 0.0
+    n = d / jnp.abs(dist[:, None])                             # outward n̂
+    if old is not None:
+        n = n * side[:, None]
+    vn = jnp.sum(v[None, :] * n, axis=-1)                      # (W,)
+    decay = math.exp(-lam * dt)
+    vn2 = decay * (vn - lam * (vn - lam * pen) * dt)
+    dvn = jnp.where(active, jnp.maximum(vn2 - vn, 0.0), 0.0)
+    tng = jnp.stack([-n[:, 1], n[:, 0]], axis=-1)              # (W, 2)
+    vt = jnp.sum(v[None, :] * tng, axis=-1)
+    dvt = -jnp.sign(vt) * jnp.minimum(jnp.abs(vt), mu * dvn)
+    dvt = jnp.where(active, dvt, 0.0)
+    return jnp.sum(dvn[:, None] * n + dvt[:, None] * tng, axis=0)
+
+
+def tip_impedance_eject(
+    walls: Walls,
+    center: jnp.ndarray,
+    tip: jnp.ndarray,
+    v3: jnp.ndarray,
+    theta: jnp.ndarray,
+    inflate: float,
+    lam: float,
+    dt: float,
+    m: float,
+    a: float,
+    i_prime: float,
+    old: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Exact 3-dof impedance response for a single off-center contact point.
+
+    Models the arrow-box tip of the point robot hitting a wall (the contact
+    MuJoCo resolves with large slide *and hinge* velocity jumps — the box
+    reaches 1.1 past the body origin vs the 0.4 manual-collision radius).
+
+    Wall segments are the RADIUS-inflated faces, so the physical wall face
+    lies ``inflate`` beyond the segment (toward the wall); the tip point
+    penetrates the physical wall by ``pen = -(s_d + inflate)`` where ``s_d``
+    is the tip's signed segment distance, sign taken from the robot-center
+    side (the center always stays outside via manual collision).
+
+    The dof response uses the exact body mass matrix of the point model
+    (derived from point.xml geom densities, probed equal to MuJoCo qM):
+
+        M = [[m, 0, -a sinθ], [0, m, a cosθ], [-a sinθ, a cosθ, I]]
+
+    with ``a = m_box*0.6`` and ``I' = I - a²/m`` the COM spin inertia; the
+    closed-form M⁻¹ gives per-contact  A = 1/m + g²/I',
+    ``g = rxn - (a/m)(u·n̂)``, ``u = (-sinθ, cosθ)``, and
+    Δqvel = f · (n̂/m - u·(a/(m I'))·g,  g/I') with ``f = Δvn / A`` from the
+    same critically damped one-step map as :func:`impedance_eject`.
+    Returns the summed ``(3,)`` qvel delta over walls (normal-only; the
+    multi-point face contact and its friction are approximated by the two
+    leading tip corners — documented residual).
+    """
+    if old is None:
+        old = center
+    v1 = walls.p2 - walls.p1
+    nrm2 = jnp.sum(v1 * v1, axis=-1)
+    safe_n = jnp.where(nrm2 == 0.0, 1.0, nrm2)
+    tt = jnp.sum((tip[None, :] - walls.p1) * v1, axis=-1) / safe_n
+    tt = jnp.clip(tt, 0.0, 1.0)
+    closest = walls.p1 + tt[:, None] * v1                      # (W, 2)
+    # outward normal: from the wall toward the pre-move position's side
+    # (the center itself can be past the face on a crossing step)
+    dc = old[None, :] - closest
+    dcn = jnp.sqrt(jnp.sum(dc * dc, axis=-1) + 1e-12)
+    n = dc / dcn[:, None]                                      # (W, 2)
+    s_d = jnp.sum((tip[None, :] - closest) * n, axis=-1)       # signed
+    pen = jnp.maximum(-(s_d + inflate), 0.0)
+    pen = jnp.where(walls.mask, pen, 0.0)
+    active = pen > 0.0
+    r_rel = tip - center                                       # (2,)
+    rxn = r_rel[0] * n[:, 1] - r_rel[1] * n[:, 0]              # (W,)
+    u = jnp.stack([-jnp.sin(theta), jnp.cos(theta)])           # (2,)
+    un = n[:, 0] * u[0] + n[:, 1] * u[1]                       # (W,)
+    g = rxn - (a / m) * un
+    A = 1.0 / m + (g * g) / i_prime
+    vn = n[:, 0] * v3[0] + n[:, 1] * v3[1] + rxn * v3[2]
+    decay = math.exp(-lam * dt)
+    vn2 = decay * (vn - lam * (vn - lam * pen) * dt)
+    dvn = jnp.where(active, jnp.maximum(vn2 - vn, 0.0), 0.0)
+    f = dvn / A
+    coef = a / (m * i_prime)
+    dvx = f * (n[:, 0] / m - u[0] * coef * g)
+    dvy = f * (n[:, 1] / m - u[1] * coef * g)
+    dvr = f * g / i_prime
+    return jnp.stack([jnp.sum(dvx), jnp.sum(dvy), jnp.sum(dvr)])
 
 
 def pad_walls(segments, max_walls: int) -> Walls:

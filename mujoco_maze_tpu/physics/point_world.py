@@ -1,0 +1,623 @@
+"""Planar point-world contact engine: an exact replica of the reference's
+``mj_step`` residual for manual-collision (Point) robots.
+
+The reference PointEnv calls ``mj_step`` once per env step on a 3-dof planar
+system (slide x, slide y, hinge z — `/root/reference/mujoco_maze/point.py:58`,
+`assets/point.xml`), integrated with **RK4** over smooth dynamics plus
+MuJoCo's soft-constraint contact model.  Because the system is tiny, the
+whole pipeline can be replicated exactly, stage by stage (validated row-level
+against MuJoCo 3 with ``tools/probe_point_mj.py``):
+
+1. **Smooth dynamics.**  ``M(th)`` has an off-diagonal slide-hinge coupling
+   from the arrow box's off-axis mass (``a = m_box*0.6``); the only bias
+   force is the centrifugal term ``(a w^2 cos th, a w^2 sin th, 0)``.
+   Gravity is orthogonal to all three dofs; the floor carries no normal
+   force (z is not a dof, the sphere rests at exactly dist = 0).
+
+2. **Collision.**  Sphere-vs-wall-box (single contact; MuJoCo's deep case:
+   when the center is inside the box the *nearest 3D face* is chosen — for
+   deep crossings that face can be the box *bottom*, giving a z normal whose
+   pyramid rows become pure x/y friction pairs; these are the 1e5-scale
+   "ejection" forces seen in reference rollouts).  Arrow-box-vs-wall-box
+   via separating axes + reference-face clipping (2 xy points, duplicated
+   at the arrow's two z levels, per-point depths, midpoint contact
+   positions) — matching MuJoCo's box-box contact set on the golden
+   trajectories.
+
+3. **Constraint rows.**  Pyramidal cone (model default), 4 edges per
+   contact ``J_n ± mu*J_t``; per-row reference acceleration
+   ``aref = -b*(J v) + k*pen`` with ``b = 2/(dmax*tc)``,
+   ``k = d(pen)/(dmax^2*tc^2*zeta^2)``, ``tc = max(solref_tc, 2*dt)`` and
+   ``d(pen)`` the solimp sigmoid; regularizer
+   ``R = (1-d)/d * 2*(1+mu^2) * invweight0_trans`` (all validated against
+   ``efc_aref`` / ``efc_R``; z-duplicated box contacts are folded into one
+   row with R halved — two identical soft rows act as one of half the
+   regularization).
+
+4. **Solver.**  MuJoCo's primal Newton: minimize over qacc
+   ``0.5*|x - qacc_smooth|_M^2 + sum_i [J_i x - aref_i]_-^2 / (2 R_i)``,
+   a convex C^1 piecewise quadratic; a handful of 3x3 Newton steps with an
+   exact piecewise-quadratic line search reproduces ``efc_force`` to
+   solver tolerance.
+
+5. **RK4.**  The standard tableau over 4 forward evaluations reproduces
+   ``mj_step`` bit-for-bit in float64 on contact-free steps and to solver
+   tolerance on wall-press steps.
+
+The **floor friction switch** is replicated bit-exactly: the sphere sits at
+dist exactly 0, and MuJoCo includes the floor contact iff its computed
+distance rounds *below* zero.  Probing shows the entire rounding chain is
+``m22 = fl(fl(cos(th/2)^2) + fl(sin(th/2)^2))`` (mju_quat2Mat's
+``q0^2 - q1^2 - q2^2 + q3^2`` with q1 = q2 = 0; the hinge xquat skips
+normalization because its norm rounds to 1), then ``dist = 0.5*m22 - 0.5``
+which is either ``0.0`` (excluded) or ``-2^-54`` (active pure-friction
+pyramid rows — J_n = 0 since z is not a dof and the lever is zero).  The
+predicate matches MuJoCo 3 on 200/200 probed golden states, and XLA's
+float64 cos/sin are bit-identical to libm's on those inputs
+(``tools/probe_point_mj.py``), so the switch is deterministic here too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+class WallBoxes(NamedTuple):
+    """Static wall boxes (the maze's BLOCK cells), fixed shape + mask."""
+
+    c: jnp.ndarray     # (W, 3) centers
+    h: jnp.ndarray     # (W, 3) half extents
+    mask: jnp.ndarray  # (W,) 1.0 for real walls
+
+
+@dataclasses.dataclass(frozen=True)
+class PointWorldParams:
+    """Trace-time constants, all derived from the model XML (no calibration).
+
+    Geometry/mass constants follow assets/point.xml (density 100): sphere
+    r=0.5 at z=0.5; arrow box half (0.5, 0.1, 0.1) at body offset
+    (0.6, 0, 0.5).  Contact constants follow the world-builder defaults
+    (maze_env.py:102-112): every pair in the Point worlds has slide
+    friction mu=1; solimp is the element-wise mean of the two geoms'
+    (solmix weights equal), with the whole default class hardened to
+    (.995, .995, .01) when movable blocks exist.
+    """
+
+    dt: float = 0.02
+    # mass model (probed equal to MuJoCo qM / body_invweight0)
+    m_sphere: float = 100.0 * (4.0 / 3.0) * math.pi * 0.125
+    m_box: float = 4.0
+    arm: float = 4.0 * 0.6                    # a = m_box * offset
+    # I about the joint origin: 2/5 m r^2 + box inertia + parallel axis
+    inertia: float = (0.4 * 100.0 * (4.0 / 3.0) * math.pi * 0.125 * 0.25
+                      + 4.0 * (1.0 + 0.04) / 12.0 + 4.0 * 0.36)
+    sphere_r: float = 0.5
+    sphere_z: float = 0.5
+    arrow_off: float = 0.6
+    arrow_half_l: float = 0.5
+    arrow_half_w: float = 0.1
+    arrow_z_lo: float = 0.4
+    arrow_z_hi: float = 0.6
+    mu: float = 1.0
+    zeta: float = 1.0                          # solref dampratio
+    tc: float = 0.04                           # max(solref_tc=0.02, 2*dt)
+    # solimp of robot-vs-wall contacts: mean of (.9,.99,.001) and the wall
+    # default — (.9,.95,.001) normally, (.995,.995,.01) in block worlds
+    dmin: float = 0.9
+    dmax: float = 0.97
+    width: float = 0.001
+    # floor-contact solimp mix (sphere + floor default)
+    f_dmin: float = 0.9
+    f_dmax: float = 0.97
+    f_width: float = 0.001
+    newton_iters: int = 10
+    ls_iters: int = 14
+    max_contacts: int = 6
+
+    @property
+    def m(self) -> float:
+        return self.m_sphere + self.m_box
+
+    @property
+    def r_com(self) -> float:
+        return self.arm / self.m
+
+    @property
+    def invw_t(self) -> float:
+        """MuJoCo ``body_invweight0`` (translational): mean diagonal of the
+        com-point translational inverse inertia at qpos0 (the z row is 0)."""
+        m, a, i = self.m, self.arm, self.inertia
+        det = m * i - a * a
+        r = a / m
+        a_yy = i / det - 2.0 * r * a / det + r * r * m / det
+        return (1.0 / m + a_yy) / 3.0
+
+    @property
+    def b_wall(self) -> float:
+        return 2.0 / (self.dmax * self.tc)
+
+    @property
+    def k_wall(self) -> float:
+        """k / d — multiply by the row's impedance d(pen)."""
+        return 1.0 / (self.dmax * self.dmax * self.tc * self.tc
+                      * self.zeta * self.zeta)
+
+    @property
+    def r_scale(self) -> float:
+        """R = r_scale * (1-d)/d  (pyramidal, both worlds' mu = 1)."""
+        return 2.0 * (1.0 + self.mu * self.mu) * self.invw_t
+
+
+def params_for_world(any_blocks: bool, dt: float = 0.02) -> PointWorldParams:
+    """Contact constants for a Point world (maze_env.py:108-112 hardening)."""
+    if not any_blocks:
+        return PointWorldParams(dt=dt)
+    # default class solimp -> (.995, .995, .01); robot geoms keep (.9,.99)
+    return PointWorldParams(
+        dt=dt,
+        dmin=(0.9 + 0.995) / 2, dmax=(0.99 + 0.995) / 2,
+        width=(0.001 + 0.01) / 2,
+        f_dmin=(0.9 + 0.995) / 2, f_dmax=(0.99 + 0.995) / 2,
+        f_width=(0.001 + 0.01) / 2,
+    )
+
+
+def wall_boxes_from_structure(ms, dtype=jnp.float32) -> WallBoxes:
+    """Static wall boxes of a maze (BLOCK cells + elevated platforms)."""
+    pos = np.concatenate([np.asarray(ms.block_pos).reshape(-1, 3),
+                          np.asarray(ms.platform_pos).reshape(-1, 3)], 0)
+    half = np.concatenate([np.asarray(ms.block_size).reshape(-1, 3),
+                           np.asarray(ms.platform_size).reshape(-1, 3)], 0)
+    n = max(len(pos), 1)
+    c = np.zeros((n, 3)); h = np.ones((n, 3)) * -1.0; mask = np.zeros((n,))
+    if len(pos):
+        c[: len(pos)] = pos
+        h[: len(pos)] = half
+        mask[: len(pos)] = 1.0
+    return WallBoxes(c=jnp.asarray(c, dtype), h=jnp.asarray(h, dtype),
+                     mask=jnp.asarray(mask, dtype))
+
+
+# ---------------------------------------------------------------------------
+# solimp impedance sigmoid (power 2, midpoint 0.5 — XML defaults)
+# ---------------------------------------------------------------------------
+
+def _impedance(pen, dmin, dmax, width):
+    x = jnp.clip(pen / width, 0.0, 1.0)
+    y = jnp.where(x < 0.5, 2.0 * x * x, 1.0 - 2.0 * (1.0 - x) * (1.0 - x))
+    return dmin + y * (dmax - dmin)
+
+
+# ---------------------------------------------------------------------------
+# collision: candidate contact generation (fixed shapes, masked)
+# ---------------------------------------------------------------------------
+
+class _Contacts(NamedTuple):
+    """Flat candidate contact arrays (per env; leading axis = candidates)."""
+
+    pos: jnp.ndarray     # (C, 2) xy contact position (lever arms)
+    n: jnp.ndarray       # (C, 2) xy of the separation normal (robot side)
+    nz: jnp.ndarray      # (C,) z component of the normal (deep sphere case)
+    pen: jnp.ndarray     # (C,) penetration (>0 when touching)
+    active: jnp.ndarray  # (C,) bool
+    zmult: jnp.ndarray   # (C,) row multiplicity (z-duplicated box contacts)
+    floor: jnp.ndarray   # (C,) 1.0 for the floor contact (f_* solimp)
+
+
+def _sphere_vs_boxes(p: PointWorldParams, boxes: WallBoxes, xy):
+    """MuJoCo sphere-box: shallow closest-point case + deep nearest-face
+    fallback (the z faces compete — probed at `tools/probe_point_mj.py`)."""
+    cx, cy, cz = xy[0], xy[1], p.sphere_z
+    lo = boxes.c - boxes.h
+    hi = boxes.c + boxes.h
+    qx = jnp.clip(cx, lo[:, 0], hi[:, 0])
+    qy = jnp.clip(cy, lo[:, 1], hi[:, 1])
+    qz = jnp.clip(cz, lo[:, 2], hi[:, 2])
+    dx, dy, dz = cx - qx, cy - qy, cz - qz
+    d2 = dx * dx + dy * dy + dz * dz
+    outside = d2 > 1e-24
+    dist_out = jnp.sqrt(jnp.maximum(d2, 1e-24))
+    pen_out = p.sphere_r - dist_out
+    n_out = jnp.stack([dx, dy, dz], -1) / dist_out[:, None]
+    # contact pos = center - n*(r + dist/2), dist = dist_out - r
+    t_out = p.sphere_r + (dist_out - p.sphere_r) * 0.5
+    pos_out = jnp.stack([cx - n_out[:, 0] * t_out, cy - n_out[:, 1] * t_out], -1)
+
+    # deep: nearest of the 6 faces (3D); normal points OUT of that face
+    depths = jnp.stack([cx - lo[:, 0], hi[:, 0] - cx,
+                        cy - lo[:, 1], hi[:, 1] - cy,
+                        cz - lo[:, 2], hi[:, 2] - cz], -1)   # (W, 6)
+    face = jnp.argmin(depths, -1)
+    fdepth = jnp.min(depths, -1)
+    face_n = jnp.asarray(
+        [[-1.0, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1]],
+        xy.dtype)
+    n_in = face_n[face]           # push the sphere out through the NEAR face
+    pen_in = fdepth + p.sphere_r
+    # contact pos = center + n_into_box*(r + dist/2), dist = -(fdepth + r)
+    # (probed: midpoint between sphere surface and the near face plane)
+    t_in = p.sphere_r - pen_in * 0.5
+    pos_in = jnp.stack([cx - n_in[:, 0] * t_in, cy - n_in[:, 1] * t_in], -1)
+
+    pen = jnp.where(outside, pen_out, pen_in)
+    n3 = jnp.where(outside[:, None], n_out, n_in)
+    pos = jnp.where(outside[:, None], pos_out, pos_in)
+    active = (pen > 0.0) & (boxes.mask > 0.0)
+    return _Contacts(pos=pos, n=n3[:, :2], nz=n3[:, 2], pen=pen,
+                     active=active, zmult=jnp.ones_like(pen),
+                     floor=jnp.zeros_like(pen))
+
+
+def _arrow_vs_boxes(p: PointWorldParams, boxes: WallBoxes, xy, th):
+    """Arrow box (rotated about z) vs wall boxes: 5-axis SAT (wall x/y,
+    arrow u/v, and z) + reference-face contact generation.
+
+    xy-axis winner: clip the incident box's deepest edge -> 2 points with
+    per-point depths and midpoint positions, duplicated at the arrow's two
+    z levels (folded into zmult=2 — identical rows).  z-axis winner (deep
+    ori-first presses; probed): contact points are the arrow footprint
+    corners inside the wall footprint, each with the z penetration
+    (halfsum - |dz|, i.e. depth to push the arrow out through the wall's
+    z face, NOT the interval overlap) and a pure-friction pyramid
+    (J_n = 0 since z is not a dof).
+    """
+    ct, st = jnp.cos(th), jnp.sin(th)
+    u = jnp.stack([ct, st])              # arrow long axis
+    v = jnp.stack([-st, ct])             # arrow short axis
+    ac = xy + u * p.arrow_off            # arrow center
+    hl, hw = p.arrow_half_l, p.arrow_half_w
+    az_c = 0.5 * (p.arrow_z_lo + p.arrow_z_hi)
+    az_h = 0.5 * (p.arrow_z_hi - p.arrow_z_lo)
+
+    W = boxes.c.shape[0]
+    bc = boxes.c[:, :2]
+    bh = boxes.h[:, :2]
+    d = ac[None, :] - bc                 # (W, 2)
+
+    # SAT overlaps: wall x, wall y, arrow u, arrow v, z (halfsum - |dc|)
+    ov_wx = bh[:, 0] + hl * jnp.abs(u[0]) + hw * jnp.abs(v[0]) - jnp.abs(d[:, 0])
+    ov_wy = bh[:, 1] + hl * jnp.abs(u[1]) + hw * jnp.abs(v[1]) - jnp.abs(d[:, 1])
+    du = d @ u
+    dv = d @ v
+    ov_u = hl + bh[:, 0] * jnp.abs(u[0]) + bh[:, 1] * jnp.abs(u[1]) - jnp.abs(du)
+    ov_v = hw + bh[:, 0] * jnp.abs(v[0]) + bh[:, 1] * jnp.abs(v[1]) - jnp.abs(dv)
+    ov_z = boxes.h[:, 2] + az_h - jnp.abs(az_c - boxes.c[:, 2])
+    ovs = jnp.stack([ov_wx, ov_wy, ov_u, ov_v, ov_z], -1)    # (W, 5)
+    overlap_all = jnp.all(ovs > 0.0, -1) & (boxes.mask > 0.0)
+    axis = jnp.argmin(ovs, -1)
+    z_wins = axis == 4
+
+    # normals per xy-axis choice, oriented to push the ARROW off the wall
+    sgn_wx = jnp.sign(jnp.where(d[:, 0] == 0.0, 1.0, d[:, 0]))
+    sgn_wy = jnp.sign(jnp.where(d[:, 1] == 0.0, 1.0, d[:, 1]))
+    sgn_u = jnp.sign(jnp.where(du == 0.0, 1.0, du))
+    sgn_v = jnp.sign(jnp.where(dv == 0.0, 1.0, dv))
+    ex = jnp.asarray([1.0, 0.0], xy.dtype)
+    ey = jnp.asarray([0.0, 1.0], xy.dtype)
+    normals = jnp.stack([
+        ex[None, :] * sgn_wx[:, None],
+        ey[None, :] * sgn_wy[:, None],
+        u[None, :] * sgn_u[:, None],
+        v[None, :] * sgn_v[:, None],
+    ], 1)                                                    # (W, 4, 2)
+    axy = jnp.minimum(axis, 3)
+    n = jnp.take_along_axis(normals, axy[:, None, None].repeat(2, -1), 1)[:, 0]
+
+    # wall-axis case: clip the arrow's most-penetrating edge (2 corners)
+    # against the reference face's side extents.  arrow corners:
+    signs = jnp.asarray([[1.0, 1], [1, -1], [-1, 1], [-1, -1]], xy.dtype)
+    corners = (ac[None, :] + signs[:, :1] * u[None, :] * hl
+               + signs[:, 1:] * v[None, :] * hw)             # (4, 2)
+    corners = jnp.broadcast_to(corners[None], (W, 4, 2))
+    # depth of each corner along -n past the reference face
+    # reference face plane: wall face at offset along n
+    face_off = (bc * n).sum(-1) + (bh * jnp.abs(n)).sum(-1)   # face plane c·n
+    corner_s = (corners * n[:, None, :]).sum(-1)             # (W, 4)
+    corner_pen = face_off[:, None] - corner_s                # >0 = inside
+    # arrow-axis case: wall corners against the arrow face
+    wall_corners = (bc[:, None, :]
+                    + signs[None, :, :1] * (bh[:, :1] * ex[None, :])[:, None, :]
+                    + signs[None, :, 1:] * (bh[:, 1:] * ey[None, :])[:, None, :]
+                    )                                        # (W, 4, 2)
+    # arrow reference face plane: arrow face along -n (n pushes arrow out of
+    # wall, so the arrow's face toward the wall is at ac - n*half_along_n)
+    half_along = hl * jnp.abs((n * u[None, :]).sum(-1)) + hw * jnp.abs(
+        (n * v[None, :]).sum(-1))
+    a_face_off = (ac[None, :] * n).sum(-1) - half_along      # plane a·n
+    wall_pen = (wall_corners * n[:, None, :]).sum(-1) - a_face_off[:, None]
+
+    is_wall_axis = axis < 2
+    pens = jnp.where(is_wall_axis[:, None], corner_pen, wall_pen)  # (W, 4)
+    pts = jnp.where(is_wall_axis[:, None, None], corners, wall_corners)
+
+    # incident-edge corner selection (MuJoCo box-box): the incident face is
+    # the one whose outward normal is most anti-parallel to the reference
+    # face normal — NOT the two deepest corners (probed at t=94,
+    # tools/debug_point_rows.py: MuJoCo keeps the shallow far corner of the
+    # incident edge and drops a deeper corner of the adjacent edge).
+    # wall-axis case (reference face on the wall, outward normal n̂):
+    # arrow edge normals are ±u (short edges, su=±1) / ±v (long, sv=±1);
+    # minimize normal·n̂ -> axis with larger |c|, sign -sign(c).
+    cu = n @ u                                               # (W,)
+    cv = n @ v
+    su_i = -jnp.sign(jnp.where(cu == 0.0, 1.0, cu))
+    sv_i = -jnp.sign(jnp.where(cv == 0.0, 1.0, cv))
+    i01 = jnp.asarray([0, 1]); i23 = jnp.asarray([2, 3])
+    i02 = jnp.asarray([0, 2]); i13 = jnp.asarray([1, 3])
+    # signs rows: [(+,+), (+,-), (-,+), (-,-)] — su fixed -> {0,1}/{2,3},
+    # sv fixed -> {0,2}/{1,3}
+    iu = jnp.where(su_i[:, None] > 0, i01[None, :], i23[None, :])
+    iv = jnp.where(sv_i[:, None] > 0, i02[None, :], i13[None, :])
+    inc_wall = jnp.where((jnp.abs(cu) >= jnp.abs(cv))[:, None], iu, iv)
+    # arrow-axis case (reference face on the arrow, its outward normal -n̂):
+    # wall incident face normal maximizes normal·n̂ -> ±ex/±ey by |n̂| comp.
+    sx_i = jnp.sign(jnp.where(n[:, 0] == 0.0, 1.0, n[:, 0]))
+    sy_i = jnp.sign(jnp.where(n[:, 1] == 0.0, 1.0, n[:, 1]))
+    ix = jnp.where(sx_i[:, None] > 0, i01[None, :], i23[None, :])
+    iy = jnp.where(sy_i[:, None] > 0, i02[None, :], i13[None, :])
+    inc_arrow = jnp.where((jnp.abs(n[:, 0]) >= jnp.abs(n[:, 1]))[:, None],
+                          ix, iy)
+    top2 = jnp.where(is_wall_axis[:, None], inc_wall, inc_arrow)  # (W, 2)
+    pick = lambda arr: jnp.take_along_axis(arr, top2, 1)
+    pen2 = pick(pens)                                        # (W, 2)
+    pt2 = jnp.take_along_axis(pts, top2[:, :, None].repeat(2, -1), 1)
+    # tangential clip: project onto t = rot90(n); reference extent along t
+    t = jnp.stack([-n[:, 1], n[:, 0]], -1)
+    ref_c = jnp.where(is_wall_axis[:, None], bc, ac[None, :].repeat(W, 0))
+    ref_ht = jnp.where(
+        is_wall_axis,
+        (bh * jnp.abs(t)).sum(-1),
+        hl * jnp.abs((t * u[None, :]).sum(-1))
+        + hw * jnp.abs((t * v[None, :]).sum(-1)),
+    )
+    s = ((pt2 - ref_c[:, None, :]) * t[:, None, :]).sum(-1)  # (W, 2)
+    s_cl = jnp.clip(s, -ref_ht[:, None], ref_ht[:, None])
+    # clipping moves the point along the incident edge; adjust pen linearly
+    # along the edge direction (the segment between the two corners)
+    edge = pt2[:, 1] - pt2[:, 0]
+    edge_s = (edge * t).sum(-1)
+    edge_pen = pen2[:, 1] - pen2[:, 0]
+    slope = jnp.where(jnp.abs(edge_s) > 1e-9, edge_pen / edge_s, 0.0)
+    pen_cl = pen2 + (s_cl - s) * slope[:, None]
+    pt_cl = pt2 + (s_cl - s)[:, :, None] * t[:, None, :]
+    # contact position = midpoint of the point and the reference face along
+    # n: the penetrating point is the arrow corner (below the wall face) in
+    # the wall-axis case -> +n/2, but the WALL corner (poking past the
+    # arrow face in +n) in the arrow-axis case -> -n/2 (probed at t=93/94).
+    pos_sgn = jnp.where(is_wall_axis, 0.5, -0.5)
+    pos = pt_cl + n[:, None, :] * (pen_cl * pos_sgn[:, None])[:, :, None]
+
+    # MuJoCo's point-keep rules (probed, margin = 0; see DESIGN.md §point):
+    # * original incident-face corners: with C1 = 0.02*h_ref (reference-box
+    #   halfsize along the normal) and C2 = C1/1.01, keep all pen > 0 when
+    #   the deepest pen <= C1 (shallow face-ish contact), else keep only
+    #   pen > C2 (probed boundary d2* = h*2/101 across h, tilt, box dims).
+    # * clip-generated points (corner clamped to the reference rect, depth
+    #   interpolated along the incident edge): keep iff pen > 0 and the
+    #   depth gap to the deepest point is <= 2*h_ref (probed: kept at gap
+    #   0.104 with h=0.1 at t=96, dropped at gap 0.216 at t=93; always kept
+    #   for wall-reference where 2*h is large).
+    was_clipped = jnp.abs(s_cl - s) > 1e-12
+    h_ref = jnp.where(is_wall_axis, (bh * jnp.abs(n)).sum(-1), half_along)
+    c1 = 0.02 * h_ref
+    c2 = c1 / 1.01
+    depmax = jnp.max(jnp.where(pen_cl > 0.0, pen_cl, -jnp.inf), axis=-1)
+    thresh = jnp.where(depmax <= c1, 0.0, c2)
+    keep_corner = pen_cl > thresh[:, None]
+    keep_clip = (pen_cl > 0.0) & (
+        (depmax[:, None] - pen_cl) <= 2.0 * h_ref[:, None])
+    keep = jnp.where(was_clipped, keep_clip, keep_corner)
+    active_xy = overlap_all[:, None] & keep & (~z_wins[:, None])
+    xy_con = _Contacts(
+        pos=pos.reshape(-1, 2), n=n[:, None, :].repeat(2, 1).reshape(-1, 2),
+        nz=jnp.zeros_like(pen_cl).reshape(-1), pen=pen_cl.reshape(-1),
+        active=active_xy.reshape(-1),
+        zmult=jnp.full_like(pen_cl, 2.0).reshape(-1),
+        floor=jnp.zeros_like(pen_cl).reshape(-1),
+    )
+
+    # z-axis winner: arrow footprint corners inside the wall footprint
+    in_foot = (jnp.abs(corners[:, :, 0] - bc[:, None, 0]) <= bh[:, None, 0]) & (
+        jnp.abs(corners[:, :, 1] - bc[:, None, 1]) <= bh[:, None, 1])  # (W,4)
+    nz_sgn = jnp.sign(jnp.where(az_c == boxes.c[:, 2], -1.0,
+                                az_c - boxes.c[:, 2]))       # push away along z
+    active_z = overlap_all[:, None] & z_wins[:, None] & in_foot
+    z_con = _Contacts(
+        pos=corners.reshape(-1, 2),
+        n=jnp.zeros((W * 4, 2), xy.dtype),
+        nz=nz_sgn[:, None].repeat(4, 1).reshape(-1),
+        pen=ov_z[:, None].repeat(4, 1).reshape(-1),
+        active=active_z.reshape(-1),
+        zmult=jnp.ones((W * 4,), xy.dtype),
+        floor=jnp.zeros((W * 4,), xy.dtype),
+    )
+    cat = lambda a, b: jnp.concatenate([a, b], 0)
+    return _Contacts(*(cat(a, b) for a, b in zip(xy_con, z_con)))
+
+
+def _floor_contact(p: PointWorldParams, xy, th):
+    """The sphere-floor contact, with MuJoCo's bit-exact inclusion switch.
+
+    ``dist = fl(0.5*m22) - 0.5`` where ``m22 = fl(fl(cos(th/2)^2) +
+    fl(sin(th/2)^2))`` (see module docstring); the contact is included iff
+    dist < 0 (i.e. m22 rounds below 1), giving pure-friction pyramid rows
+    (J_n = 0: z is not a dof and the xy lever is zero)."""
+    w = jnp.cos(0.5 * th)
+    z = jnp.sin(0.5 * th)
+    m22 = w * w + z * z
+    dist = 0.5 * m22 - 0.5
+    active = dist < 0.0
+    one = jnp.ones_like(th)
+    return _Contacts(
+        pos=xy[None, :], n=jnp.zeros((1, 2), xy.dtype),
+        nz=one[None], pen=(-dist)[None], active=active[None],
+        zmult=one[None], floor=one[None])
+
+
+def _gather_contacts(p: PointWorldParams, boxes: WallBoxes, xy, th):
+    cs = _sphere_vs_boxes(p, boxes, xy)
+    ca = _arrow_vs_boxes(p, boxes, xy, th)
+    cat = lambda a, b: jnp.concatenate([a, b], 0)
+    all_c = _Contacts(*(cat(a, b) for a, b in zip(cs, ca)))
+    # top-K by penetration among active
+    score = jnp.where(all_c.active, all_c.pen, -jnp.inf)
+    k = min(p.max_contacts, score.shape[0])
+    idx = jnp.argsort(-score)[:k]
+    g = lambda arr: arr[idx]
+    walls = _Contacts(pos=g(all_c.pos), n=g(all_c.n), nz=g(all_c.nz),
+                      pen=g(all_c.pen), active=g(all_c.active),
+                      zmult=g(all_c.zmult), floor=g(all_c.floor))
+    fl_c = _floor_contact(p, xy, th)
+    return _Contacts(*(cat(a, b) for a, b in zip(walls, fl_c)))
+
+
+# ---------------------------------------------------------------------------
+# constraint rows + primal Newton solve
+# ---------------------------------------------------------------------------
+
+def _make_frame(n2, nz):
+    """MuJoCo mju_makeFrame tangents for our normals.
+
+    Probed cases: n=(±1,0,0) -> t1=(0,1,0); n=(0,0,±1) -> t1=(0,1,0).
+    mju_makeFrame picks t1 = normalize((0,1,0) - n*n_y) unless n is close
+    to ±y, in which case t1 = normalize((0,0,1) - n*n_z).  For planar
+    normals this reduces to the formulas below.
+    """
+    # general: t1 = normalize(ey - n*(n·ey)) if |n_y| < 0.99? — MuJoCo uses
+    # "smallest component" logic; validated against probes in
+    # tools/validate_point_world.py for all wall orientations.
+    near_y = jnp.abs(n2[:, 1]) > 0.99995
+    ny = n2[:, 1]
+    # candidate A: ey - n*(n·ey), normalized (n·ey = n_y since n_z enters
+    # only for the deep-sphere case where n2=0)
+    t1x_a = -n2[:, 0] * ny
+    t1y_a = 1.0 - ny * ny
+    t1z_a = -nz * ny
+    nrm_a = jnp.sqrt(t1x_a**2 + t1y_a**2 + t1z_a**2 + 1e-30)
+    # candidate B (near ±y): ez - n*(n·ez); planar normals have n_z=0 so
+    # this is just ez
+    t1 = jnp.where(
+        near_y[:, None],
+        jnp.stack([jnp.zeros_like(ny), jnp.zeros_like(ny), jnp.ones_like(ny)], -1),
+        jnp.stack([t1x_a / nrm_a, t1y_a / nrm_a, t1z_a / nrm_a], -1),
+    )
+    n3 = jnp.stack([n2[:, 0], n2[:, 1], nz], -1)
+    t2 = jnp.cross(n3, t1)
+    return n3, t1, t2
+
+
+def _rows_from_contacts(p: PointWorldParams, con: _Contacts, xy, v):
+    """Pyramid rows (4 per contact): J (K4, 3), aref, 1/R (masked)."""
+    n3, t1, t2 = _make_frame(con.n, con.nz)
+    r = con.pos - xy[None, :]                                # (K, 2) lever
+    # J of a direction d: (d_x, d_y, (z×r)·d = -r_y d_x + r_x d_y)
+    def jac(d):
+        return jnp.stack(
+            [d[:, 0], d[:, 1], -r[:, 1] * d[:, 0] + r[:, 0] * d[:, 1]], -1)
+    jn, jt1, jt2 = jac(n3), jac(t1), jac(t2)
+    mu = p.mu
+    J = jnp.stack([jn - mu * jt1, jn + mu * jt1,
+                   jn - mu * jt2, jn + mu * jt2], 1)         # (K, 4, 3)
+    is_f = con.floor > 0.0
+    dmin = jnp.where(is_f, p.f_dmin, p.dmin)
+    dmax = jnp.where(is_f, p.f_dmax, p.dmax)
+    width = jnp.where(is_f, p.f_width, p.width)
+    d_imp = _impedance(con.pen, dmin, dmax, width)           # (K,)
+    k = d_imp / (dmax * dmax * p.tc * p.tc * p.zeta * p.zeta)
+    b = 2.0 / (dmax * p.tc)
+    vrow = (J @ v)                                           # (K, 4)
+    aref = -b[:, None] * vrow + (k * con.pen)[:, None]
+    rinv = (d_imp / (1.0 - d_imp)) / p.r_scale * con.zmult   # (K,)
+    rinv = jnp.where(con.active, rinv, 0.0)
+    K = J.shape[0]
+    return (J.reshape(K * 4, 3), aref.reshape(K * 4),
+            rinv[:, None].repeat(4, 1).reshape(K * 4))
+
+
+def _mass_matrix(p: PointWorldParams, th):
+    s, c = jnp.sin(th), jnp.cos(th)
+    a = p.arm
+    return jnp.stack([
+        jnp.stack([jnp.full_like(th, p.m), jnp.zeros_like(th), -a * s]),
+        jnp.stack([jnp.zeros_like(th), jnp.full_like(th, p.m), a * c]),
+        jnp.stack([-a * s, a * c, jnp.full_like(th, p.inertia)]),
+    ])
+
+
+def _qacc_smooth(p: PointWorldParams, th, w, minv):
+    bias = jnp.stack([p.arm * w * w * jnp.cos(th),
+                      p.arm * w * w * jnp.sin(th),
+                      jnp.zeros_like(th)])
+    return minv @ bias
+
+
+def _solve_newton(p: PointWorldParams, M, a0, J, aref, rinv):
+    """Primal Newton on the convex piecewise-quadratic MuJoCo cost."""
+
+    def cost_grad_hess(x):
+        jar = J @ x - aref
+        neg = (jar < 0.0) & (rinv > 0.0)
+        wrow = jnp.where(neg, rinv, 0.0)
+        grad = M @ (x - a0) + J.T @ (wrow * jar)
+        H = M + (J.T * wrow[None, :]) @ J
+        return grad, H
+
+    def phi_prime(x, pdir, t):
+        """d/dt cost(x + t p) — piecewise linear, increasing."""
+        xt = x + t * pdir
+        jar = J @ xt - aref
+        wrow = jnp.where((jar < 0.0) & (rinv > 0.0), rinv, 0.0)
+        return pdir @ (M @ (xt - a0)) + (J @ pdir) @ (wrow * jar)
+
+    x = a0
+    for _ in range(p.newton_iters):
+        grad, H = cost_grad_hess(x)
+        pdir = -jnp.linalg.solve(H, grad)
+        # exact-ish line search: bisection on the monotone derivative
+        lo = jnp.zeros((), x.dtype)
+        hi = jnp.full((), 2.0, x.dtype)
+        hi = jnp.where(phi_prime(x, pdir, hi) < 0.0, 4.0, hi)
+        for _ in range(p.ls_iters):
+            mid = 0.5 * (lo + hi)
+            dneg = phi_prime(x, pdir, mid) < 0.0
+            lo = jnp.where(dneg, mid, lo)
+            hi = jnp.where(dneg, hi, mid)
+        t = 0.5 * (lo + hi)
+        x = x + t * pdir
+    return x
+
+
+def forward(p: PointWorldParams, boxes: WallBoxes, q, v):
+    """qacc(q, v): smooth + contact constraint solve (one mj_forward)."""
+    th = q[2]
+    M = _mass_matrix(p, th)
+    minv = jnp.linalg.inv(M)
+    a0 = _qacc_smooth(p, th, v[2], minv)
+    con = _gather_contacts(p, boxes, q[:2], th)
+    J, aref, rinv = _rows_from_contacts(p, con, q[:2], v)
+    any_active = jnp.any(rinv > 0.0)
+    qacc = _solve_newton(p, M, a0, J, aref, rinv)
+    return jnp.where(any_active, qacc, a0)
+
+
+def rk4_step(p: PointWorldParams, boxes: WallBoxes, q, v):
+    """One ``mj_step`` replica (RK4 tableau A=[1/2,1/2,1], B=[1/6,1/3,1/3,1/6])."""
+    h = jnp.asarray(p.dt, q.dtype)
+    A = (0.5, 0.5, 1.0)
+    B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+    vs = [v]
+    accs = [forward(p, boxes, q, v)]
+    for a in A:
+        qi = q + a * h * vs[-1]
+        vi = v + a * h * accs[-1]
+        vs.append(vi)
+        accs.append(forward(p, boxes, qi, vi))
+    qf = q + h * sum(b * vi for b, vi in zip(B, vs[:4]))
+    vf = v + h * sum(b * ai for b, ai in zip(B, accs))
+    return qf, vf
