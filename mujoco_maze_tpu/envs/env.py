@@ -126,6 +126,7 @@ class MazeEnvSpec:
         # cheaper and mm-accurate.  The replica needs float64 for its
         # bit-exact floor-contact switch anyway.
         self.point_world = None
+        self.point_ball_world = None
         if (robot.MANUAL_COLLISION and dtype == jnp.float64
                 and getattr(robot, "USES_POINT_WORLD", False)):
             self.point_world = (
@@ -133,6 +134,9 @@ class MazeEnvSpec:
                     any_blocks=bool(ms.movable_blocks), dt=robot.timestep),
                 point_world.wall_boxes_from_structure(ms, dtype=jnp.float64),
             )
+            if ms.object_balls and robot.OBJBALL_TYPE == "hinge":
+                self.point_ball_world = point_world.ball_world_from_structure(
+                    ms, dtype=jnp.float64)
         ball_segs = ms.wall_segments(self.task.OBJECT_BALL_SIZE)
         self.objball_walls = self._to_dtype_walls(
             segments.pad_walls(ball_segs, max(len(ball_segs), 1))
@@ -835,15 +839,29 @@ class MazeEnvSpec:
             # per-step residual matches MuJoCo 3 bit-exactly on contact-free
             # steps and to solver tolerance on wall presses.
             pwp, pwb = self.point_world
-            q3, v3 = point_world.rk4_step(pwp, pwb, qpos[:3], qvel[:3])
-            qpos = qpos.at[:3].set(q3)
-            qvel = qvel.at[:3].set(v3)
+            if self.point_ball_world is not None:
+                # coupled robot + object-ball solve (rk4_step_world): the
+                # balls' sphere-sphere/arrow/wall/floor contacts all ride
+                # the same Newton solve, matching mj_step bit-for-bit on
+                # the strike probes (see physics/point_world.py).
+                idxs = jnp.asarray(
+                    [i for ob in self.ball_runtimes for i in ob.qpos_idx])
+                qw = jnp.concatenate([qpos[:3], qpos[idxs]])
+                vw = jnp.concatenate([qvel[:3], qvel[idxs]])
+                qw, vw = point_world.rk4_step_world(
+                    pwp, pwb, self.point_ball_world, qw, vw)
+                qpos = qpos.at[:3].set(qw[:3]).at[idxs].set(qw[3:])
+                qvel = qvel.at[:3].set(vw[:3]).at[idxs].set(vw[3:])
+            else:
+                q3, v3 = point_world.rk4_step(pwp, pwb, qpos[:3], qvel[:3])
+                qpos = qpos.at[:3].set(q3)
+                qvel = qvel.at[:3].set(v3)
+                if self.ball_runtimes:
+                    qpos, qvel = self._step_balls(
+                        qpos, qvel, qpos[:2], qpos[:2] - old_xy, dt
+                    )
             if self.block_runtimes:
                 qpos, qvel = self._push_blocks(qpos, qvel, qpos[:2], dt)
-            if self.ball_runtimes:
-                qpos, qvel = self._step_balls(
-                    qpos, qvel, qpos[:2], qpos[:2] - old_xy, dt
-                )
         else:
             # fast path: closed-form smooth residual + derived impedance maps
             qpos, qvel = robot.residual_step(qpos, qvel)

@@ -621,3 +621,306 @@ def rk4_step(p: PointWorldParams, boxes: WallBoxes, q, v):
     qf = q + h * sum(b * vi for b, vi in zip(B, vs[:4]))
     vf = v + h * sum(b * ai for b, ai in zip(B, accs))
     return qf, vf
+
+
+# ---------------------------------------------------------------------------
+# multi-body world: robot + hinge-type object balls (Billiard tasks)
+# ---------------------------------------------------------------------------
+
+class BallWorld(NamedTuple):
+    """Static spec of the hinge-type object balls (maze_env.py:489-536):
+    per ball a body at ``body_pos`` with slide-x/slide-y/hinge-z joints and
+    a sphere geom of radius ``r`` at (0, 0, r), mass 1e-4*r^3."""
+
+    r: jnp.ndarray         # (B,) radii
+    mass: jnp.ndarray      # (B,)
+    inertia: jnp.ndarray   # (B,) spin inertia about the hinge (2/5 m r^2)
+    body_pos: jnp.ndarray  # (B, 2) body-frame origins (cell centers)
+
+    @property
+    def nb(self) -> int:
+        return self.r.shape[0]
+
+
+def ball_world_from_structure(ms, dtype=jnp.float64) -> "BallWorld":
+    """Build the BallWorld from a maze structure's object-ball specs."""
+    pos = np.asarray([ob.pos for ob in ms.object_balls], np.float64)
+    r = np.asarray([ob.size for ob in ms.object_balls], np.float64)
+    mass = 1e-4 * r**3
+    return BallWorld(
+        r=jnp.asarray(r, dtype),
+        mass=jnp.asarray(mass, dtype),
+        inertia=jnp.asarray(0.4 * mass * r * r, dtype),
+        body_pos=jnp.asarray(pos.reshape(-1, 2), dtype),
+    )
+
+
+class _Rows(NamedTuple):
+    J: jnp.ndarray      # (R, ndof)
+    aref: jnp.ndarray   # (R,)
+    rinv: jnp.ndarray   # (R,)
+
+
+def _pyramid_rows(p, jn, jt1, jt2, pen, vrow_v, active, zmult,
+                  dmin, dmax, width, invw, mu):
+    """Generic pyramid rows from per-contact 2-body jacobians (K, ndof)."""
+    J = jnp.stack([jn - mu * jt1, jn + mu * jt1,
+                   jn - mu * jt2, jn + mu * jt2], 1)          # (K, 4, nd)
+    d_imp = _impedance(pen, dmin, dmax, width)
+    k = d_imp / (dmax * dmax * p.tc * p.tc * p.zeta * p.zeta)
+    b = 2.0 / (dmax * p.tc)
+    vrow = J @ vrow_v                                         # (K, 4)
+    aref = -b * vrow + (k * pen)[:, None] if jnp.ndim(b) == 0 else (
+        -b[:, None] * vrow + (k * pen)[:, None])
+    r_scale = 2.0 * (1.0 + mu * mu) * invw
+    rinv = (d_imp / (1.0 - d_imp)) / r_scale * zmult
+    rinv = jnp.where(active, rinv, 0.0)
+    K, nd = J.shape[0], J.shape[2]
+    return _Rows(J=J.reshape(K * 4, nd), aref=aref.reshape(K * 4),
+                 rinv=rinv[:, None].repeat(4, 1).reshape(K * 4))
+
+
+def _body_jac3(d3, pos_xy, origin_xy):
+    """(K, 3) jacobian of 3D direction ``d3`` at ``pos_xy`` for one planar
+    slide-slide-hinge body whose hinge passes through ``origin_xy``."""
+    r = pos_xy - origin_xy
+    return jnp.stack(
+        [d3[:, 0], d3[:, 1],
+         -r[:, 1] * d3[:, 0] + r[:, 0] * d3[:, 1]], -1)
+
+
+def _floor_switch(th):
+    """MuJoCo's bit-exact z=const contact inclusion predicate (see
+    :func:`_floor_contact`): active iff fl(cos^2(th/2)) + fl(sin^2(th/2))
+    rounds below 1."""
+    w = jnp.cos(0.5 * th)
+    z = jnp.sin(0.5 * th)
+    m22 = w * w + z * z
+    dist = 0.5 * m22 - 0.5
+    return dist < 0.0, -dist
+
+
+def forward_world(p: PointWorldParams, boxes: WallBoxes, balls: BallWorld,
+                  q, v):
+    """qacc for the composed world: robot (3 dof) + B hinge balls (3B dof).
+
+    Contact inventory (all validated row-level against MuJoCo 3 on the
+    composed PointBilliard world, tools/probe_point_mj.py pattern):
+    robot-vs-walls + robot floor switch (as :func:`forward`), per ball:
+    sphere-vs-walls, floor switch on the ball hinge angle, robot-sphere-vs-
+    ball (3D tilted normal), arrow-box-vs-ball, and ball-vs-ball pairs.
+    R uses the summed ``body_invweight0`` of the pair (probed: R = 269.361
+    for the robot-ball rows at d = 0.99)."""
+    B = balls.nb
+    nd = 3 + 3 * B
+    th = q[2]
+    xy = q[:2]
+    dtype = q.dtype
+
+    # mass matrix: blockdiag(robot M, per-ball diag(m, m, I))
+    M = jnp.zeros((nd, nd), dtype)
+    M = M.at[:3, :3].set(_mass_matrix(p, th))
+    for i in range(B):
+        o = 3 + 3 * i
+        M = M.at[o, o].set(balls.mass[i])
+        M = M.at[o + 1, o + 1].set(balls.mass[i])
+        M = M.at[o + 2, o + 2].set(balls.inertia[i])
+    minv3 = jnp.linalg.inv(_mass_matrix(p, th))
+    a0 = jnp.zeros((nd,), dtype).at[:3].set(
+        _qacc_smooth(p, th, v[2], minv3))
+
+    invw_r = p.invw_t
+    rows = []
+    pad = lambda j3: jnp.pad(j3, ((0, 0), (0, nd - 3)))
+
+    # --- robot vs walls + robot floor (reuse the 3-dof machinery) --------
+    con = _gather_contacts(p, boxes, xy, th)
+    n3, t1, t2 = _make_frame(con.n, con.nz)
+    jn = pad(_body_jac3(n3, con.pos, xy))
+    jt1 = pad(_body_jac3(t1, con.pos, xy))
+    jt2 = pad(_body_jac3(t2, con.pos, xy))
+    is_f = con.floor > 0.0
+    rows.append(_pyramid_rows(
+        p, jn, jt1, jt2, con.pen, v, con.active, con.zmult,
+        jnp.where(is_f, p.f_dmin, p.dmin), jnp.where(is_f, p.f_dmax, p.dmax),
+        jnp.where(is_f, p.f_width, p.width), invw_r, p.mu))
+
+    # solimp of robot-sphere-vs-ball / arrow-vs-ball / ball-vs-ball pairs:
+    # both geoms carry (.9, .99, .001) (maze_env.py:509, point.xml)
+    bb_dmin, bb_dmax, bb_width = 0.9, 0.99, 0.001
+
+    for i in range(B):
+        o = 3 + 3 * i
+        invw_b = 2.0 / (3.0 * balls.mass[i])
+        ctr = balls.body_pos[i] + jnp.stack([q[o], q[o + 1]])
+        thb = q[o + 2]
+        r_b = balls.r[i]
+        padb = lambda j3, o=o: jnp.zeros(
+            (j3.shape[0], nd), dtype).at[:, o:o + 3].set(j3)
+
+        # ball vs walls (sphere-box, z = r_b)
+        bw = _sphere_vs_boxes_r(boxes, ctr, r_b, r_b)
+        bn3, bt1, bt2 = _make_frame(bw.n, bw.nz)
+        rows.append(_pyramid_rows(
+            p, padb(_body_jac3(bn3, bw.pos, ctr)),
+            padb(_body_jac3(bt1, bw.pos, ctr)),
+            padb(_body_jac3(bt2, bw.pos, ctr)),
+            bw.pen, v, bw.active, bw.zmult,
+            p.dmin, p.dmax, p.width, invw_b, p.mu))
+
+        # ball floor switch (pure friction, lever 0)
+        fact, fpen = _floor_switch(thb)
+        fn3 = jnp.asarray([[0.0, 0.0, 1.0]], dtype)
+        ft1 = jnp.asarray([[0.0, 1.0, 0.0]], dtype)
+        ft2 = jnp.asarray([[-1.0, 0.0, 0.0]], dtype)
+        mkj = lambda d: padb(_body_jac3(d, ctr[None, :], ctr))
+        rows.append(_pyramid_rows(
+            p, mkj(fn3), mkj(ft1), mkj(ft2), fpen[None],
+            v, fact[None], jnp.ones((1,), dtype),
+            p.f_dmin, p.f_dmax, p.f_width, invw_b, p.mu))
+
+        # robot body sphere vs ball (3D contact: centers at z=0.5 / z=r_b)
+        d3 = jnp.stack([ctr[0] - xy[0], ctr[1] - xy[1],
+                        r_b - p.sphere_z])
+        dist3 = jnp.sqrt(jnp.sum(d3 * d3) + 1e-30)
+        nrm = d3 / dist3
+        pen_rb = (p.sphere_r + r_b) - dist3
+        # contact position: on the segment between centers
+        t_mid = p.sphere_r + (dist3 - p.sphere_r - r_b) * 0.5
+        pos_rb = xy + nrm[:2] * t_mid
+        rn3, rt1, rt2 = _make_frame(nrm[None, :2], nrm[None, 2])
+        jfun = lambda d: (padb(_body_jac3(d, pos_rb[None, :], ctr))
+                          - pad(_body_jac3(d, pos_rb[None, :], xy)))
+        rows.append(_pyramid_rows(
+            p, jfun(rn3), jfun(rt1), jfun(rt2), pen_rb[None], v,
+            (pen_rb > 0.0)[None], jnp.ones((1,), dtype),
+            bb_dmin, bb_dmax, bb_width, invw_r + invw_b, p.mu))
+
+        # arrow box vs ball: sphere vs rotated box -> solve in arrow frame
+        ct, st = jnp.cos(th), jnp.sin(th)
+        u = jnp.stack([ct, st])
+        w_ax = jnp.stack([-st, ct])
+        ac = xy + u * p.arrow_off
+        rel = ctr - ac
+        # ball center in arrow frame (x along u, y along v, z up)
+        bx, by = rel @ u, rel @ w_ax
+        bz = r_b - 0.5 * (p.arrow_z_lo + p.arrow_z_hi)
+        hx, hy = p.arrow_half_l, p.arrow_half_w
+        hz = 0.5 * (p.arrow_z_hi - p.arrow_z_lo)
+        cx = jnp.clip(bx, -hx, hx)
+        cy = jnp.clip(by, -hy, hy)
+        cz = jnp.clip(bz, -hz, hz)
+        ddx, ddy, ddz = bx - cx, by - cy, bz - cz
+        dd2 = ddx * ddx + ddy * ddy + ddz * ddz
+        dl = jnp.sqrt(jnp.maximum(dd2, 1e-30))
+        pen_ab = r_b - dl
+        # normal in world frame (pushes the ball away from the arrow)
+        nf = jnp.stack([ddx, ddy, ddz]) / dl
+        n_world = jnp.stack([
+            nf[0] * u[0] + nf[1] * w_ax[0],
+            nf[0] * u[1] + nf[1] * w_ax[1],
+            nf[2],
+        ])
+        # contact position: ball center - n*(r + dist/2)
+        t_ab = r_b + (dl - r_b) * 0.5
+        pos_ab = ctr - n_world[:2] * t_ab
+        an3, at1, at2 = _make_frame(n_world[None, :2], n_world[None, 2])
+        jfun_a = lambda d: (padb(_body_jac3(d, pos_ab[None, :], ctr))
+                            - pad(_body_jac3(d, pos_ab[None, :], xy)))
+        rows.append(_pyramid_rows(
+            p, jfun_a(an3), jfun_a(at1), jfun_a(at2), pen_ab[None], v,
+            (pen_ab > 0.0)[None], jnp.ones((1,), dtype),
+            bb_dmin, bb_dmax, bb_width, invw_r + invw_b, p.mu))
+
+        # ball vs earlier balls
+        for jprev in range(i):
+            o2 = 3 + 3 * jprev
+            ctr2 = balls.body_pos[jprev] + jnp.stack([q[o2], q[o2 + 1]])
+            r2 = balls.r[jprev]
+            d3b = jnp.stack([ctr[0] - ctr2[0], ctr[1] - ctr2[1], r_b - r2])
+            distb = jnp.sqrt(jnp.sum(d3b * d3b) + 1e-30)
+            nb = d3b / distb
+            pen_bb = (r_b + r2) - distb
+            pos_bb = ctr2 + nb[:2] * (r2 + (distb - r2 - r_b) * 0.5)
+            bn, bt1b, bt2b = _make_frame(nb[None, :2], nb[None, 2])
+            padb2 = lambda j3, o2=o2: jnp.zeros(
+                (j3.shape[0], nd), dtype).at[:, o2:o2 + 3].set(j3)
+            jf = lambda d: (padb(_body_jac3(d, pos_bb[None, :], ctr))
+                            - padb2(_body_jac3(d, pos_bb[None, :], ctr2)))
+            invw_b2 = 2.0 / (3.0 * balls.mass[jprev])
+            rows.append(_pyramid_rows(
+                p, jf(bn), jf(bt1b), jf(bt2b), pen_bb[None], v,
+                (pen_bb > 0.0)[None], jnp.ones((1,), dtype),
+                bb_dmin, bb_dmax, bb_width, invw_b + invw_b2, p.mu))
+
+    J = jnp.concatenate([r.J for r in rows], 0)
+    aref = jnp.concatenate([r.aref for r in rows], 0)
+    rinv = jnp.concatenate([r.rinv for r in rows], 0)
+    any_active = jnp.any(rinv > 0.0)
+    qacc = _solve_newton(p, M, a0, J, aref, rinv)
+    return jnp.where(any_active, qacc, a0)
+
+
+class _BallCon(NamedTuple):
+    pos: jnp.ndarray
+    n: jnp.ndarray
+    nz: jnp.ndarray
+    pen: jnp.ndarray
+    active: jnp.ndarray
+    zmult: jnp.ndarray
+
+
+def _sphere_vs_boxes_r(boxes: WallBoxes, xy, radius, z_c):
+    """Sphere of ``radius`` at height ``z_c`` vs wall boxes (shallow +
+    deep nearest-face cases, as :func:`_sphere_vs_boxes`)."""
+    cx, cy, cz = xy[0], xy[1], z_c
+    lo = boxes.c - boxes.h
+    hi = boxes.c + boxes.h
+    qx = jnp.clip(cx, lo[:, 0], hi[:, 0])
+    qy = jnp.clip(cy, lo[:, 1], hi[:, 1])
+    qz = jnp.clip(cz, lo[:, 2], hi[:, 2])
+    dx, dy, dz = cx - qx, cy - qy, cz - qz
+    d2 = dx * dx + dy * dy + dz * dz
+    outside = d2 > 1e-24
+    dist_out = jnp.sqrt(jnp.maximum(d2, 1e-24))
+    pen_out = radius - dist_out
+    n_out = jnp.stack([dx, dy, dz], -1) / dist_out[:, None]
+    t_out = radius + (dist_out - radius) * 0.5
+    pos_out = jnp.stack([cx - n_out[:, 0] * t_out,
+                         cy - n_out[:, 1] * t_out], -1)
+    depths = jnp.stack([cx - lo[:, 0], hi[:, 0] - cx,
+                        cy - lo[:, 1], hi[:, 1] - cy,
+                        cz - lo[:, 2], hi[:, 2] - cz], -1)
+    face = jnp.argmin(depths, -1)
+    fdepth = jnp.min(depths, -1)
+    face_n = jnp.asarray(
+        [[-1.0, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1]],
+        xy.dtype)
+    n_in = face_n[face]
+    pen_in = fdepth + radius
+    t_in = radius - pen_in * 0.5
+    pos_in = jnp.stack([cx - n_in[:, 0] * t_in, cy - n_in[:, 1] * t_in], -1)
+    pen = jnp.where(outside, pen_out, pen_in)
+    n3 = jnp.where(outside[:, None], n_out, n_in)
+    pos = jnp.where(outside[:, None], pos_out, pos_in)
+    active = (pen > 0.0) & (boxes.mask > 0.0)
+    return _BallCon(pos=pos, n=n3[:, :2], nz=n3[:, 2], pen=pen,
+                    active=active, zmult=jnp.ones_like(pen))
+
+
+def rk4_step_world(p: PointWorldParams, boxes: WallBoxes, balls: BallWorld,
+                   q, v):
+    """RK4 ``mj_step`` replica over the composed robot + balls world."""
+    h = jnp.asarray(p.dt, q.dtype)
+    A = (0.5, 0.5, 1.0)
+    B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+    vs = [v]
+    accs = [forward_world(p, boxes, balls, q, v)]
+    for a in A:
+        qi = q + a * h * vs[-1]
+        vi = v + a * h * accs[-1]
+        vs.append(vi)
+        accs.append(forward_world(p, boxes, balls, qi, vi))
+    qf = q + h * sum(b * vi for b, vi in zip(B, vs[:4]))
+    vf = v + h * sum(b * ai for b, ai in zip(B, accs))
+    return qf, vf

@@ -148,6 +148,64 @@ def test_kinematic_exactness_no_contact():
     )
 
 
+def test_exact_billiard_strike_golden():
+    """Exact path (float64 coupled robot+ball solve): the strike scenario
+    is bit-exact teacher-forced on most steps; free-run ball placement is
+    bounded by the robot floor-switch chaos (~0.4 over the 120-step run)."""
+    path = os.path.join(GOLDEN_DIR, "PointBilliard-v0_strike.npz")
+    if not os.path.exists(path):
+        pytest.skip("strike golden missing")
+    g = np.load(path)
+    with jax.enable_x64(True):
+        spec = mmt.make_spec("PointBilliard-v0", dtype=jnp.float64)
+        assert spec.point_ball_world is not None
+        state0, _ = spec.reset(jax.random.PRNGKey(0))
+        step = jax.jit(spec.step)
+        # teacher-forced: per-step error vs mj_step
+        errs = []
+        qp, qv = g["reset_qpos"], g["reset_qvel"]
+        for t in range(len(g["actions"])):
+            st = state0._replace(qpos=jnp.asarray(qp, jnp.float64),
+                                 qvel=jnp.asarray(qv, jnp.float64))
+            res = step(st, jnp.asarray(g["actions"][t], jnp.float64))
+            errs.append(np.abs(np.asarray(res.state.qpos) - g["qpos"][t]).max())
+            qp, qv = g["qpos"][t], g["qvel"][t]
+        errs = np.asarray(errs)
+        assert errs.mean() < 1e-3, f"strike teacher-forced mean {errs.mean():.2e}"
+        assert np.median(errs) < 1e-9
+        # free run: final ball within 0.5 of the MuJoCo golden (old
+        # calibrated model: 1.5)
+        st = state0._replace(qpos=jnp.asarray(g["reset_qpos"], jnp.float64),
+                             qvel=jnp.asarray(g["reset_qvel"], jnp.float64))
+        for t in range(len(g["actions"])):
+            st = step(st, jnp.asarray(g["actions"][t], jnp.float64)).state
+        ball = np.asarray(spec.ball_runtimes[0].body_pos) + np.asarray(st.qpos)[3:5]
+        assert np.linalg.norm(ball - g["ball_xy"][-1]) < 0.5
+
+
+def test_exact_billiard_rolling_golden():
+    """Ball dynamics on the untouched-ball seed are bit-exact for the whole
+    200-step teacher-forced trajectory (the ball's floor-contact switch is
+    replicated at the ulp level)."""
+    g = _load("PointBilliard-v0", 11)
+    with jax.enable_x64(True):
+        spec = mmt.make_spec("PointBilliard-v0", dtype=jnp.float64)
+        state0, _ = spec.reset(jax.random.PRNGKey(0))
+        step = jax.jit(spec.step)
+        ball_errs, rob_errs = [], []
+        qp, qv = g["reset_qpos"], g["reset_qvel"]
+        for t in range(len(g["actions"])):
+            st = state0._replace(qpos=jnp.asarray(qp, jnp.float64),
+                                 qvel=jnp.asarray(qv, jnp.float64))
+            res = step(st, jnp.asarray(g["actions"][t], jnp.float64))
+            q = np.asarray(res.state.qpos)
+            ball_errs.append(np.abs(q[3:6] - g["qpos"][t][3:6]).max())
+            rob_errs.append(np.abs(q[:3] - g["qpos"][t][:3]).max())
+            qp, qv = g["qpos"][t], g["qvel"][t]
+        assert max(ball_errs) < 1e-9, f"ball err {max(ball_errs):.2e}"
+        assert np.mean(rob_errs) < 1e-3
+
+
 def test_billiard_strike_golden():
     """Directed strike scenario: the point drives through the ball.  The
     soft-push model must reproduce MuJoCo's behavior class — a light nudge
