@@ -137,6 +137,12 @@ class MazeEnvSpec:
             if ms.object_balls and robot.OBJBALL_TYPE == "hinge":
                 self.point_ball_world = point_world.ball_world_from_structure(
                     ms, dtype=jnp.float64)
+            # XY movable blocks join the coupled solve; z/spin blocks keep
+            # the approximate path (block_world_from_structure -> None)
+            self.point_block_world = point_world.block_world_from_structure(
+                ms, dtype=jnp.float64)
+        else:
+            self.point_block_world = None
         ball_segs = ms.wall_segments(self.task.OBJECT_BALL_SIZE)
         self.objball_walls = self._to_dtype_walls(
             segments.pad_walls(ball_segs, max(len(ball_segs), 1))
@@ -839,17 +845,25 @@ class MazeEnvSpec:
             # per-step residual matches MuJoCo 3 bit-exactly on contact-free
             # steps and to solver tolerance on wall presses.
             pwp, pwb = self.point_world
-            if self.point_ball_world is not None:
-                # coupled robot + object-ball solve (rk4_step_world): the
-                # balls' sphere-sphere/arrow/wall/floor contacts all ride
-                # the same Newton solve, matching mj_step bit-for-bit on
-                # the strike probes (see physics/point_world.py).
-                idxs = jnp.asarray(
-                    [i for ob in self.ball_runtimes for i in ob.qpos_idx])
+            if (self.point_ball_world is not None
+                    or self.point_block_world is not None):
+                # coupled robot + object solve (rk4_step_world): ball and
+                # XY-block contacts all ride the same Newton solve,
+                # matching mj_step bit-for-bit on the strike probes
+                # (see physics/point_world.py).
+                idx_list = []
+                if self.point_ball_world is not None:
+                    idx_list += [i for ob in self.ball_runtimes
+                                 for i in ob.qpos_idx]
+                if self.point_block_world is not None:
+                    for b in self.block_runtimes:
+                        idx_list += [i for i in b.qpos_idx[:2] if i >= 0]
+                idxs = jnp.asarray(idx_list)
                 qw = jnp.concatenate([qpos[:3], qpos[idxs]])
                 vw = jnp.concatenate([qvel[:3], qvel[idxs]])
                 qw, vw = point_world.rk4_step_world(
-                    pwp, pwb, self.point_ball_world, qw, vw)
+                    pwp, pwb, self.point_ball_world, qw, vw,
+                    self.point_block_world)
                 qpos = qpos.at[:3].set(qw[:3]).at[idxs].set(qw[3:])
                 qvel = qvel.at[:3].set(vw[:3]).at[idxs].set(vw[3:])
             else:
@@ -860,7 +874,7 @@ class MazeEnvSpec:
                     qpos, qvel = self._step_balls(
                         qpos, qvel, qpos[:2], qpos[:2] - old_xy, dt
                     )
-            if self.block_runtimes:
+            if self.block_runtimes and self.point_block_world is None:
                 qpos, qvel = self._push_blocks(qpos, qvel, qpos[:2], dt)
         else:
             # fast path: closed-form smooth residual + derived impedance maps

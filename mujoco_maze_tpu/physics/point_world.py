@@ -700,24 +700,42 @@ def _floor_switch(th):
     return dist < 0.0, -dist
 
 
-def forward_world(p: PointWorldParams, boxes: WallBoxes, balls: BallWorld,
-                  q, v):
-    """qacc for the composed world: robot (3 dof) + B hinge balls (3B dof).
+def forward_world(p: PointWorldParams, boxes: WallBoxes, balls, q, v,
+                  blocks=None):
+    """qacc for the composed world: robot (3 dof) + B hinge balls (3 dof
+    each) + movable XY blocks (1-2 dof each).
 
     Contact inventory (all validated row-level against MuJoCo 3 on the
-    composed PointBilliard world, tools/probe_point_mj.py pattern):
-    robot-vs-walls + robot floor switch (as :func:`forward`), per ball:
-    sphere-vs-walls, floor switch on the ball hinge angle, robot-sphere-vs-
-    ball (3D tilted normal), arrow-box-vs-ball, and ball-vs-ball pairs.
-    R uses the summed ``body_invweight0`` of the pair (probed: R = 269.361
-    for the robot-ball rows at d = 0.99)."""
-    B = balls.nb
-    nd = 3 + 3 * B
+    composed PointBilliard / PointPush worlds, tools/probe_point_mj.py
+    pattern): robot-vs-walls + robot floor switch (as :func:`forward`), per
+    ball: sphere-vs-walls, floor switch on the ball hinge angle, robot-
+    sphere-vs-ball (3D tilted normal), arrow-box-vs-ball, ball-vs-ball;
+    per block: robot-sphere-vs-block, arrow-vs-block, block-vs-walls,
+    block-vs-block, ball-vs-block.  Blocks have momentum and no floor
+    friction (probed: they glide at constant velocity until a contact).
+    R uses the summed ``body_invweight0`` of the pair (probed: 269.361 for
+    robot-ball at d=0.99; 151.134 for robot-block at d=0.9925)."""
+    B = balls.nb if balls is not None else 0
+    Bk = blocks.nb if blocks is not None else 0
+    blk_base = 3 + 3 * B
+    # static per-block dof column layout
+    blk_cols = []
+    off = blk_base
+    for k in range(Bk):
+        cols = {}
+        if blocks.has_x[k]:
+            cols["x"] = off
+            off += 1
+        if blocks.has_y[k]:
+            cols["y"] = off
+            off += 1
+        blk_cols.append(cols)
+    nd = off
     th = q[2]
     xy = q[:2]
     dtype = q.dtype
 
-    # mass matrix: blockdiag(robot M, per-ball diag(m, m, I))
+    # mass matrix: blockdiag(robot M, per-ball diag(m, m, I), block dofs)
     M = jnp.zeros((nd, nd), dtype)
     M = M.at[:3, :3].set(_mass_matrix(p, th))
     for i in range(B):
@@ -725,6 +743,9 @@ def forward_world(p: PointWorldParams, boxes: WallBoxes, balls: BallWorld,
         M = M.at[o, o].set(balls.mass[i])
         M = M.at[o + 1, o + 1].set(balls.mass[i])
         M = M.at[o + 2, o + 2].set(balls.inertia[i])
+    for k in range(Bk):
+        for c in blk_cols[k].values():
+            M = M.at[c, c].set(blocks.mass[k])
     minv3 = jnp.linalg.inv(_mass_matrix(p, th))
     a0 = jnp.zeros((nd,), dtype).at[:3].set(
         _qacc_smooth(p, th, v[2], minv3))
@@ -853,12 +874,187 @@ def forward_world(p: PointWorldParams, boxes: WallBoxes, balls: BallWorld,
                 (pen_bb > 0.0)[None], jnp.ones((1,), dtype),
                 bb_dmin, bb_dmax, bb_width, invw_b + invw_b2, p.mu))
 
+    # ------------------------------------------------------------------
+    # movable XY blocks
+    # ------------------------------------------------------------------
+    # solimp of block-vs-wall contacts: both geoms are the hardened default
+    # class (maze_env.py:108-112) -> (0.995, 0.995, 0.01)
+    blw_dmin, blw_dmax, blw_width = 0.995, 0.995, 0.01
+    blk_ctr = []
+    for k in range(Bk):
+        cols = blk_cols[k]
+        dx = q[cols["x"]] if "x" in cols else jnp.zeros((), dtype)
+        dy = q[cols["y"]] if "y" in cols else jnp.zeros((), dtype)
+        blk_ctr.append(blocks.body_pos[k] + jnp.stack(
+            [dx, dy, jnp.zeros((), dtype)]))
+
+    def blk_jac(k, d3, pos_xy):
+        """(K, nd) jacobian rows of 3D directions for block k."""
+        cols = blk_cols[k]
+        out = jnp.zeros((d3.shape[0], nd), dtype)
+        if "x" in cols:
+            out = out.at[:, cols["x"]].set(d3[:, 0])
+        if "y" in cols:
+            out = out.at[:, cols["y"]].set(d3[:, 1])
+        return out
+
+    for k in range(Bk):
+        ctr3 = blk_ctr[k]
+        one_box = WallBoxes(c=ctr3[None, :], h=blocks.half[k][None, :],
+                            mask=jnp.ones((1,), dtype))
+        invw_k = 1.0 / blocks.mass[k]
+
+        # robot body sphere vs block (solimp = robot-wall mix: robot
+        # explicit + hardened default, probed (0.9475, 0.9925, 0.0055))
+        sb = _sphere_vs_boxes_r(one_box, xy, p.sphere_r, p.sphere_z)
+        sn3, st1, st2 = _make_frame(sb.n, sb.nz)
+        jf = lambda d, con=sb, kk=k: (
+            pad(_body_jac3(d, con.pos, xy)) - blk_jac(kk, d, con.pos))
+        rows.append(_pyramid_rows(
+            p, jf(sn3), jf(st1), jf(st2), sb.pen, v, sb.active, sb.zmult,
+            p.dmin, p.dmax, p.width, invw_r + invw_k, p.mu))
+
+        # arrow vs block (box-box, same solimp mix)
+        ab = _arrow_vs_boxes(p, one_box, xy, th)
+        an3, at1, at2 = _make_frame(ab.n, ab.nz)
+        jfa = lambda d, con=ab, kk=k: (
+            pad(_body_jac3(d, con.pos, xy)) - blk_jac(kk, d, con.pos))
+        rows.append(_pyramid_rows(
+            p, jfa(an3), jfa(at1), jfa(at2), ab.pen, v, ab.active, ab.zmult,
+            p.dmin, p.dmax, p.width, invw_r + invw_k, p.mu))
+
+        # block vs static walls (parallel AABB faces)
+        bwc = _aabb_vs_boxes(ctr3, blocks.half[k], boxes)
+        bn3, bt1, bt2 = _make_frame(bwc.n, bwc.nz)
+        jfw = lambda d, con=bwc, kk=k: blk_jac(kk, d, con.pos)
+        rows.append(_pyramid_rows(
+            p, jfw(bn3), jfw(bt1), jfw(bt2), bwc.pen, v, bwc.active,
+            bwc.zmult, blw_dmin, blw_dmax, blw_width, invw_k, p.mu))
+
+        # block vs earlier blocks
+        for kp in range(k):
+            other = WallBoxes(c=blk_ctr[kp][None, :],
+                              h=blocks.half[kp][None, :],
+                              mask=jnp.ones((1,), dtype))
+            bb = _aabb_vs_boxes(ctr3, blocks.half[k], other)
+            nb3, tb1, tb2 = _make_frame(bb.n, bb.nz)
+            jfb = lambda d, con=bb, kk=k, ko=kp: (
+                blk_jac(kk, d, con.pos) - blk_jac(ko, d, con.pos))
+            rows.append(_pyramid_rows(
+                p, jfb(nb3), jfb(tb1), jfb(tb2), bb.pen, v, bb.active,
+                bb.zmult, blw_dmin, blw_dmax, blw_width,
+                invw_k + 1.0 / blocks.mass[kp], p.mu))
+
+        # balls vs block (sphere-box; solimp = ball explicit + default mix
+        # — same as the robot mix)
+        for i in range(B):
+            o = 3 + 3 * i
+            bctr = balls.body_pos[i] + jnp.stack([q[o], q[o + 1]])
+            blb = _sphere_vs_boxes_r(one_box, bctr, balls.r[i], balls.r[i])
+            ln3, lt1, lt2 = _make_frame(blb.n, blb.nz)
+            padb_i = lambda j3, o=o: jnp.zeros(
+                (j3.shape[0], nd), dtype).at[:, o:o + 3].set(j3)
+            jfl = lambda d, con=blb, kk=k, o=o, bctr=bctr: (
+                padb_i(_body_jac3(d, con.pos, bctr), o)
+                - blk_jac(kk, d, con.pos))
+            rows.append(_pyramid_rows(
+                p, jfl(ln3), jfl(lt1), jfl(lt2), blb.pen, v, blb.active,
+                blb.zmult, p.dmin, p.dmax, p.width,
+                2.0 / (3.0 * balls.mass[i]) + invw_k, p.mu))
+
     J = jnp.concatenate([r.J for r in rows], 0)
     aref = jnp.concatenate([r.aref for r in rows], 0)
     rinv = jnp.concatenate([r.rinv for r in rows], 0)
     any_active = jnp.any(rinv > 0.0)
     qacc = _solve_newton(p, M, a0, J, aref, rinv)
     return jnp.where(any_active, qacc, a0)
+
+
+def _aabb_vs_boxes(center3, half3, boxes: WallBoxes):
+    """Axis-aligned moving box vs wall boxes: parallel-face contacts.
+
+    Minimum xy-axis SAT; two contact points at the tangential intersection
+    endpoints, duplicated over the z overlap (zmult = 2), all at the same
+    penetration (parallel faces -> MuJoCo's shallow branch keeps every
+    point with pen > 0)."""
+    d = center3[None, :2] - boxes.c[:, :2]
+    ox = boxes.h[:, 0] + half3[0] - jnp.abs(d[:, 0])
+    oy = boxes.h[:, 1] + half3[1] - jnp.abs(d[:, 1])
+    oz = (boxes.h[:, 2] + half3[2]
+          - jnp.abs(center3[2] - boxes.c[:, 2]))
+    use_x = ox <= oy
+    pen = jnp.where(use_x, ox, oy)
+    sx = jnp.sign(jnp.where(d[:, 0] == 0.0, 1.0, d[:, 0]))
+    sy = jnp.sign(jnp.where(d[:, 1] == 0.0, 1.0, d[:, 1]))
+    sgn = jnp.where(use_x, sx, sy)
+    n2 = jnp.where(use_x[:, None],
+                   jnp.stack([sgn, jnp.zeros_like(sgn)], -1),
+                   jnp.stack([jnp.zeros_like(sgn), sgn], -1))
+    # normal-axis position of the contact plane midpoint
+    half_n = jnp.where(use_x, half3[0], half3[1])
+    ctr_n = jnp.where(use_x, center3[0], center3[1])
+    face_blk = ctr_n * sgn - half_n            # block face toward the wall
+    pos_n = (face_blk + pen * 0.5) * sgn       # midpoint, in world coords
+    # tangential intersection endpoints
+    half_t = jnp.where(use_x, half3[1], half3[0])
+    ctr_t = jnp.where(use_x, center3[1], center3[0])
+    w_t = jnp.where(use_x, boxes.h[:, 1], boxes.h[:, 0])
+    wc_t = jnp.where(use_x, boxes.c[:, 1], boxes.c[:, 0])
+    t_lo = jnp.maximum(ctr_t - half_t, wc_t - w_t)
+    t_hi = jnp.minimum(ctr_t + half_t, wc_t + w_t)
+    mk = lambda t: jnp.where(use_x[:, None],
+                             jnp.stack([pos_n, t], -1),
+                             jnp.stack([t, pos_n], -1))
+    pos = jnp.concatenate([mk(t_lo), mk(t_hi)], 0)             # (2W, 2)
+    pen2 = jnp.concatenate([pen, pen], 0)
+    n2c = jnp.concatenate([n2, n2], 0)
+    active = (pen > 0.0) & (oz > 0.0) & (t_hi > t_lo) & (boxes.mask > 0.0)
+    active2 = jnp.concatenate([active, active], 0)
+    W2 = pos.shape[0]
+    return _BallCon(pos=pos, n=n2c, nz=jnp.zeros((W2,), center3.dtype),
+                    pen=pen2, active=active2,
+                    zmult=jnp.full((W2,), 2.0, center3.dtype))
+
+
+class BlockWorld(NamedTuple):
+    """Static spec of XY movable blocks (maze_env.py:563-633): axis-aligned
+    boxes with unlimited slide-x/slide-y joints, mass 2e-4, no damping and
+    no floor friction (the box-plane contact sits at dist exactly 0 and is
+    excluded, probed: a free block glides at constant velocity).  Falling
+    (z-dof) and spinning blocks are not represented here — worlds with them
+    keep the approximate path."""
+
+    half: jnp.ndarray      # (Bk, 3) half extents
+    mass: jnp.ndarray      # (Bk,)
+    body_pos: jnp.ndarray  # (Bk, 3) body origins
+    has_x: Tuple[bool, ...]   # static per-block dof flags
+    has_y: Tuple[bool, ...]
+
+    @property
+    def nb(self) -> int:
+        return self.half.shape[0]
+
+    @property
+    def ndof(self) -> int:
+        return sum(int(x) + int(y) for x, y in zip(self.has_x, self.has_y))
+
+
+def block_world_from_structure(ms, dtype=jnp.float64):
+    """BlockWorld from a maze structure; returns None if any movable block
+    needs z/spin dofs (those worlds keep the approximate block path)."""
+    specs = list(ms.movable_blocks)
+    if not specs:
+        return None
+    for b in specs:
+        if b.move_z or b.spin:
+            return None
+    return BlockWorld(
+        half=jnp.asarray(np.asarray([b.size for b in specs]), dtype).reshape(-1, 3),
+        mass=jnp.asarray(np.asarray([2e-4 for _ in specs]), dtype),
+        body_pos=jnp.asarray(np.asarray([b.pos for b in specs]), dtype).reshape(-1, 3),
+        has_x=tuple(bool(b.move_x) for b in specs),
+        has_y=tuple(bool(b.move_y) for b in specs),
+    )
 
 
 class _BallCon(NamedTuple):
@@ -908,19 +1104,19 @@ def _sphere_vs_boxes_r(boxes: WallBoxes, xy, radius, z_c):
                     active=active, zmult=jnp.ones_like(pen))
 
 
-def rk4_step_world(p: PointWorldParams, boxes: WallBoxes, balls: BallWorld,
-                   q, v):
-    """RK4 ``mj_step`` replica over the composed robot + balls world."""
+def rk4_step_world(p: PointWorldParams, boxes: WallBoxes, balls,
+                   q, v, blocks=None):
+    """RK4 ``mj_step`` replica over the composed robot+balls+blocks world."""
     h = jnp.asarray(p.dt, q.dtype)
     A = (0.5, 0.5, 1.0)
     B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
     vs = [v]
-    accs = [forward_world(p, boxes, balls, q, v)]
+    accs = [forward_world(p, boxes, balls, q, v, blocks)]
     for a in A:
         qi = q + a * h * vs[-1]
         vi = v + a * h * accs[-1]
         vs.append(vi)
-        accs.append(forward_world(p, boxes, balls, qi, vi))
+        accs.append(forward_world(p, boxes, balls, qi, vi, blocks))
     qf = q + h * sum(b * vi for b, vi in zip(B, vs[:4]))
     vf = v + h * sum(b * ai for b, ai in zip(B, accs))
     return qf, vf

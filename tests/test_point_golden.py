@@ -206,6 +206,33 @@ def test_exact_billiard_rolling_golden():
         assert np.mean(rob_errs) < 1e-3
 
 
+@pytest.mark.parametrize("seed", [2, 9])
+def test_exact_push_block_momentum_golden(seed):
+    """Exact path on PointPush: movable blocks carry momentum (struck
+    blocks glide until a wall — probed MuJoCo behavior) and the coupled
+    solve matches mj_step: teacher-forced medians are bit-exact, block
+    mean error < 1e-3."""
+    g = _load("PointPush-v0", seed)
+    with jax.enable_x64(True):
+        spec = mmt.make_spec("PointPush-v0", dtype=jnp.float64)
+        assert spec.point_block_world is not None
+        state0, _ = spec.reset(jax.random.PRNGKey(0))
+        step = jax.jit(spec.step)
+        rob, blk = [], []
+        qp, qv = g["reset_qpos"], g["reset_qvel"]
+        for t in range(len(g["actions"])):
+            st = state0._replace(qpos=jnp.asarray(qp, jnp.float64),
+                                 qvel=jnp.asarray(qv, jnp.float64))
+            res = step(st, jnp.asarray(g["actions"][t], jnp.float64))
+            qn = np.asarray(res.state.qpos)
+            rob.append(np.abs(qn[:3] - g["qpos"][t][:3]).max())
+            blk.append(np.abs(qn[3:5] - g["qpos"][t][3:5]).max())
+            qp, qv = g["qpos"][t], g["qvel"][t]
+        assert np.median(rob) < 1e-9
+        assert np.mean(blk) < 1e-3, f"block mean err {np.mean(blk):.2e}"
+        assert np.mean(rob) < 2e-3, f"robot mean err {np.mean(rob):.2e}"
+
+
 def test_billiard_strike_golden():
     """Directed strike scenario: the point drives through the ball.  The
     soft-push model must reproduce MuJoCo's behavior class — a light nudge
