@@ -21,7 +21,8 @@ class BatchedMazeEnv:
     """A fixed-size batch of identical envs stepped in lockstep."""
 
     def __init__(
-        self, spec: MazeEnvSpec, num_envs: int, auto_reset: bool = True
+        self, spec: MazeEnvSpec, num_envs: int, auto_reset: bool = True,
+        fast_step: bool | None = None,
     ) -> None:
         self.spec = spec
         self.num_envs = num_envs
@@ -29,6 +30,70 @@ class BatchedMazeEnv:
 
         self._reset_batch = jax.jit(jax.vmap(spec.reset))
         self._step_batch = jax.jit(jax.vmap(self._step_single))
+
+        # fused Pallas step kernel (ops.make_fast_step): batch on VPU
+        # lanes, whole frame_skip x RK4 x env-head step in one pallas_call.
+        # Default on for float32 specs on TPU; pass fast_step=True to force
+        # (interpret mode on CPU — slow, used by the differential tests).
+        self._fast = None
+        if fast_step is None:
+            fast_step = (jax.default_backend() == "tpu"
+                         and spec.dtype == jnp.float32)
+        if fast_step:
+            from ..ops import make_fast_step
+
+            kern = make_fast_step(self)
+            if kern is not None:
+                self._fast = self._build_fast_step(kern)
+
+    def _build_fast_step(self, kern):
+        """Wrap the raw kernel with obs/info assembly + XLA auto-reset."""
+        from .env import EPISODE_LIMIT
+
+        spec = self.spec
+        robot = spec.robot
+        auto_reset = self.auto_reset
+
+        def fstep(state: EnvState, actions: jnp.ndarray) -> StepResult:
+            xy0 = state.qpos[:, :2]
+            qp, qv, tt, rew, term = kern(
+                state.qpos, state.qvel, state.t, actions)
+            qp = qp.astype(spec.dtype)
+            qv = qv.astype(spec.dtype)
+            trunc = tt >= EPISODE_LIMIT
+            # exact obs parity with the XLA path (extras like observed
+            # block/ball centers derive from qpos)
+            obs = jax.vmap(
+                lambda q, v, t, k, g: spec._observe(
+                    EnvState(qpos=q, qvel=v, t=t, key=k, goal_pos=g))
+            )(qp, qv, tt, state.key, state.goal_pos)
+            info = {"position": qp[:, :2]}
+            if not robot.MANUAL_COLLISION:
+                fwd, cc = jax.vmap(robot.inner_reward_terms)(
+                    xy0, qp[:, :2], actions.astype(spec.dtype))
+                info = {"reward_forward": fwd, "reward_ctrl": -cc, **info}
+            res = StepResult(
+                state=EnvState(qpos=qp, qvel=qv, t=tt, key=state.key,
+                               goal_pos=state.goal_pos),
+                obs=obs, reward=rew.astype(spec.dtype),
+                terminated=term, truncated=trunc, info=info,
+            )
+            if not auto_reset:
+                return res
+            done = term | trunc
+            ks = jax.vmap(jax.random.split)(state.key)       # (B, 2, 2)
+            reset_state, reset_obs = jax.vmap(spec.reset)(ks[:, 0])
+
+            def fold(r, s):
+                d = done.reshape(done.shape + (1,) * (r.ndim - 1))
+                return jnp.where(d, r, s)
+
+            new_state = jax.tree_util.tree_map(fold, reset_state, res.state)
+            new_state = new_state._replace(
+                key=fold(reset_state.key, ks[:, 1]))
+            return res._replace(state=new_state, obs=fold(reset_obs, obs))
+
+        return jax.jit(fstep)
 
     # -- single-env step with auto-reset folded in ------------------------
     def _step_single(self, state: EnvState, action: jnp.ndarray) -> StepResult:
@@ -63,6 +128,8 @@ class BatchedMazeEnv:
 
     def step(self, state: EnvState, action: jnp.ndarray) -> StepResult:
         """state: batched EnvState; action: (num_envs, action_dim)."""
+        if self._fast is not None:
+            return self._fast(state, action)
         return self._step_batch(state, action)
 
     def rollout(
@@ -78,11 +145,12 @@ class BatchedMazeEnv:
         and stacked (obs, reward, terminated) trajectories.
         """
         obs0 = jax.vmap(self.spec._observe)(state)
+        step_fn = self._fast if self._fast is not None else self._step_batch
 
         def body(carry, key_t):
             st, obs = carry
             actions = policy(obs, key_t)
-            res = self._step_batch(st, actions)
+            res = step_fn(st, actions)
             return (res.state, res.obs), (res.obs, res.reward, res.terminated)
 
         keys = jax.random.split(key, num_steps)
@@ -100,11 +168,12 @@ class BatchedMazeEnv:
         reward / episode counts.  The benchmark path — nothing leaves the
         device until the final scalars."""
         obs0 = jax.vmap(self.spec._observe)(state)
+        step_fn = self._fast if self._fast is not None else self._step_batch
 
         def body(carry, key_t):
             st, obs, rew_sum, ep_count = carry
             actions = policy(obs, key_t)
-            res = self._step_batch(st, actions)
+            res = step_fn(st, actions)
             done = res.terminated | res.truncated
             return (
                 res.state,

@@ -46,3 +46,34 @@ def make_fast_rollout(env, num_steps: int, tile: int | None = None):
     return k.build_rollout_kernel(
         ks, env.num_envs, num_steps, **({"tile": tile} if tile else {})
     )
+
+
+def make_fast_step(env, tile: int | None = None):
+    """Build the fused per-step kernel for a batched env.
+
+    Returns ``step(qpos, qvel, t, actions) -> (qpos, qvel, t, reward,
+    terminated)`` over one ``pallas_call`` (no auto-reset — the caller
+    folds resets in XLA), or ``None`` when the robot/task combination has
+    no fused kernel or needs state the kernel does not carry (extended
+    observations, per-episode goal sampling)."""
+    import importlib
+
+    spec = env.spec
+    mod_name = _KERNEL_MODULES.get(spec.robot.NAME)
+    if mod_name is None:
+        return None
+    # per-episode goal resampling needs goal state the kernel doesn't carry;
+    # extended observations are fine — the wrapper derives them from qpos
+    # via spec._observe.
+    if spec.task.sample_goals():
+        return None
+    k = importlib.import_module(f".{mod_name}", __package__)
+    if not hasattr(k, "build_step_kernel"):
+        return None
+    try:
+        ks = k.spec_from_env(spec)
+    except AssertionError:
+        return None  # object worlds / unsupported task heads
+    return k.build_step_kernel(
+        ks, env.num_envs, **({"tile": tile} if tile else {})
+    )

@@ -50,6 +50,12 @@ class PointKernelSpec(NamedTuple):
     dt: float
     episode_limit: int
     inner_scale: float
+    # arrow-box tip contacts (segments.tip_impedance_eject constants)
+    radius: float              # manual-collision inflation of the segments
+    body_mass: float
+    couple_arm: float
+    spin_inertia: float        # I' = I - a^2/m
+    arrow_tips: tuple          # ((tx, ty), ...) leading corners, body frame
 
 
 def spec_from_env(spec) -> PointKernelSpec:
@@ -79,6 +85,11 @@ def spec_from_env(spec) -> PointKernelSpec:
         dt=float(spec.robot.timestep),
         episode_limit=1000,
         inner_scale=float(spec.inner_reward_scaling),
+        radius=float(spec.robot.RADIUS),
+        body_mass=float(getattr(spec.robot, "BODY_MASS", 1.0)),
+        couple_arm=float(getattr(spec.robot, "COUPLE_ARM", 0.0)),
+        spin_inertia=float(getattr(spec.robot, "SPIN_INERTIA_PRIME", 1.0)),
+        arrow_tips=tuple(getattr(spec.robot, "ARROW_TIPS", ())),
     )
 
 
@@ -165,7 +176,10 @@ def _step_math(ks: PointKernelSpec, x, y, ori, vx, vy, vr, t, ax, ar):
         return best_hit, best_px, best_py, best_rx, best_ry
 
     # wall-contact ejection at the pre-resolution position (what mj_step
-    # saw): impedance map of ops/segments.impedance_eject, unrolled
+    # saw): impedance map of ops/segments.impedance_eject, unrolled.
+    # Signed distance oriented by the pre-move position (old_x, old_y) so a
+    # kinematic step that crosses a wall face reads deep positive
+    # penetration with an outward normal, like the XLA path.
     if ks.eject_margin > 0.0:
         dv_x = jnp.zeros_like(x)
         dv_y = jnp.zeros_like(y)
@@ -185,9 +199,11 @@ def _step_math(ks: PointKernelSpec, x, y, ori, vx, vy, vr, t, ax, ar):
             cy = p1y + tt * v1y
             ddx, ddy = x - cx, y - cy
             dist = jnp.sqrt(ddx * ddx + ddy * ddy + np.float32(1e-12))
-            pen = jnp.maximum(m - dist, 0.0)
+            side = jnp.sign((old_x - cx) * ddx + (old_y - cy) * ddy)
+            side = jnp.where(side == 0.0, np.float32(1.0), side)
+            pen = jnp.maximum(m - dist * side, 0.0)
             act = pen > 0.0
-            nx_, ny_ = ddx / dist, ddy / dist
+            nx_, ny_ = ddx / dist * side, ddy / dist * side
             vn = vx * nx_ + vy * ny_
             vn2 = edecay * (vn - lam * (vn - lam * pen) * dt)
             dvn = jnp.where(act, jnp.maximum(vn2 - vn, 0.0), 0.0)
@@ -198,6 +214,61 @@ def _step_math(ks: PointKernelSpec, x, y, ori, vx, vy, vr, t, ax, ar):
             dv_y = dv_y + dvn * ny_ + dvt * nx_
         vx = vx + dv_x
         vy = vy + dv_y
+
+    # arrow-box tip contacts (segments.tip_impedance_eject, unrolled):
+    # exact 3-dof impedance response at each leading arrow corner, applied
+    # sequentially per tip (each tip sees the previous tip's qvel update),
+    # matching envs/env.py:_step_manual.
+    if ks.arrow_tips:
+        lam = np.float32(ks.eject_lam)
+        edecay = np.float32(np.exp(-ks.eject_lam * ks.dt))
+        bm = np.float32(ks.body_mass)
+        arm = np.float32(ks.couple_arm)
+        ip = np.float32(ks.spin_inertia)
+        infl = np.float32(ks.radius)
+        coef = np.float32(ks.couple_arm / (ks.body_mass * ks.spin_inertia))
+        sin2, cos2 = jnp.sin(ori2), jnp.cos(ori2)
+        ux, uy = -sin2, cos2
+        for tip_body in ks.arrow_tips:
+            tbx, tby = np.float32(tip_body[0]), np.float32(tip_body[1])
+            rrx = tbx * cos2 - tby * sin2        # r_rel = tip - center
+            rry = tbx * sin2 + tby * cos2
+            tipx = x + rrx
+            tipy = y + rry
+            dv_x = jnp.zeros_like(x)
+            dv_y = jnp.zeros_like(y)
+            dv_r = jnp.zeros_like(x)
+            for w in range(len(ks.walls_mask)):
+                if not ks.walls_mask[w]:
+                    continue
+                p1x, p1y = np.float32(ks.walls_p1[w, 0]), np.float32(ks.walls_p1[w, 1])
+                p2x, p2y = np.float32(ks.walls_p2[w, 0]), np.float32(ks.walls_p2[w, 1])
+                v1x, v1y = p2x - p1x, p2y - p1y
+                nrm = np.float32(v1x * v1x + v1y * v1y)
+                tt = jnp.clip(
+                    ((tipx - p1x) * v1x + (tipy - p1y) * v1y) / nrm, 0.0, 1.0)
+                cx = p1x + tt * v1x
+                cy = p1y + tt * v1y
+                dcx, dcy = old_x - cx, old_y - cy
+                dcn = jnp.sqrt(dcx * dcx + dcy * dcy + np.float32(1e-12))
+                nx_, ny_ = dcx / dcn, dcy / dcn
+                s_d = (tipx - cx) * nx_ + (tipy - cy) * ny_
+                pen = jnp.maximum(-(s_d + infl), 0.0)
+                act = pen > 0.0
+                rxn = rrx * ny_ - rry * nx_
+                un = nx_ * ux + ny_ * uy
+                g = rxn - (arm / bm) * un
+                A = np.float32(1.0) / bm + (g * g) / ip
+                vn = nx_ * vx + ny_ * vy + rxn * vr
+                vn2 = edecay * (vn - lam * (vn - lam * pen) * dt)
+                dvn = jnp.where(act, jnp.maximum(vn2 - vn, 0.0), 0.0)
+                f = dvn / A
+                dv_x = dv_x + f * (nx_ / bm - ux * coef * g)
+                dv_y = dv_y + f * (ny_ / bm - uy * coef * g)
+                dv_r = dv_r + f * g / ip
+            vx = vx + dv_x
+            vy = vy + dv_y
+            vr = vr + dv_r
 
     hit1, px, py, rx, ry = detect(old_x, old_y, x, y)
     c = np.float32(ks.restitution)

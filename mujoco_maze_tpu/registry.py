@@ -164,11 +164,13 @@ def make(
     )
 
 
-def make_batched(env_id: str, num_envs: int, auto_reset: bool = True, **kwargs):
+def make_batched(env_id: str, num_envs: int, auto_reset: bool = True,
+                 fast_step: bool | None = None, **kwargs):
     """The native batched lockstep env."""
     from .envs.batched import BatchedMazeEnv
 
-    return BatchedMazeEnv(make_spec(env_id, **kwargs), num_envs, auto_reset=auto_reset)
+    return BatchedMazeEnv(make_spec(env_id, **kwargs), num_envs,
+                          auto_reset=auto_reset, fast_step=fast_step)
 
 
 def register_gymnasium() -> None:

@@ -83,3 +83,56 @@ def test_make_fast_rollout_dispatch():
         assert ops.make_fast_rollout(env, num_steps=4, tile=16) is not None
     env2 = mmt.make_batched("PointBilliard-v0", num_envs=4)
     assert ops.make_fast_rollout(env2, num_steps=4) is None
+
+
+def test_batched_fast_step_matches_xla():
+    """BatchedMazeEnv(fast_step=True) — the public fused-step path — must
+    match the vmapped XLA step: state, obs layout, reward, termination and
+    the auto-reset fold semantics (same reset distribution; here compared
+    on a no-reset horizon)."""
+    B = 64
+    ref = mmt.make_batched("PointUMaze-v0", num_envs=B, auto_reset=False)
+    fast = mmt.make_batched("PointUMaze-v0", num_envs=B, auto_reset=False,
+                            fast_step=True)
+    assert fast._fast is not None, "fast step kernel should build"
+    state, obs0 = ref.reset(jax.random.PRNGKey(0))
+    fstate, fobs0 = fast.reset(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(obs0), np.asarray(fobs0))
+    rng = np.random.RandomState(1)
+    for it in range(3):
+        actions = jnp.asarray(
+            rng.uniform(-1, 1, (B, 2)) * [1.0, 0.25], jnp.float32)
+        r1 = ref.step(state, actions)
+        r2 = fast.step(fstate, actions)
+        np.testing.assert_allclose(
+            np.asarray(r2.state.qpos), np.asarray(r1.state.qpos), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(r2.obs), np.asarray(r1.obs), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(r2.reward), np.asarray(r1.reward), atol=1e-4)
+        assert bool((r2.terminated == r1.terminated).all())
+        assert bool((r2.truncated == r1.truncated).all())
+        np.testing.assert_allclose(
+            np.asarray(r2.info["position"]),
+            np.asarray(r1.info["position"]), atol=1e-4)
+        state, fstate = r1.state, r2.state
+
+
+def test_batched_fast_step_ant_smoke():
+    """Ant fast step: one step, finite outputs, info reward breakdown
+    present.  TPU-only: the Ant contact-dynamics kernel in interpret mode
+    takes >10 min on CPU."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("ant step kernel too slow in CPU interpret mode")
+    B = 8
+    fast = mmt.make_batched("AntUMaze-v0", num_envs=B, auto_reset=True,
+                            fast_step=True)
+    if fast._fast is None:
+        pytest.skip("ant step kernel unavailable")
+    state, obs = fast.reset(jax.random.PRNGKey(0))
+    actions = jnp.zeros((B, 8), jnp.float32)
+    res = fast.step(state, actions)
+    assert np.isfinite(np.asarray(res.obs)).all()
+    assert np.isfinite(np.asarray(res.reward)).all()
+    assert "reward_forward" in res.info and "reward_ctrl" in res.info
+    assert res.obs.shape == (B, 30)

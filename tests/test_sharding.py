@@ -105,3 +105,20 @@ def test_tp_matches_single_device_numerics(eight_devices):
         obs,
     )
     np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]), atol=1e-5)
+
+
+def test_scaling_efficiency_harness(eight_devices):
+    """The host-scaling harness (parallel/rollout.py:scaling_efficiency)
+    runs end-to-end on device-count slices of the virtual mesh and reports
+    positive throughput + an efficiency map.  Virtual CPU devices share one
+    socket, so no linearity assertion — the harness itself is the test;
+    real-pod numbers come from running it on hardware."""
+    from mujoco_maze_tpu.parallel.rollout import scaling_efficiency
+
+    out = scaling_efficiency(
+        "PointUMaze-v0", num_envs=64, steps=8, device_counts=[1, 2]
+    )
+    assert out[1] > 0 and out[2] > 0
+    assert set(out["efficiency"]) == {1, 2}
+    assert out["efficiency"][1] == pytest.approx(1.0)
+    assert out["efficiency"][2] > 0

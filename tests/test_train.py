@@ -35,10 +35,12 @@ def test_ppo_improves_value_fit():
     state = ppo.init_ppo(env, jax.random.PRNGKey(0), hidden=32)
     step = ppo.make_ppo_step(env, cfg)
     losses = []
-    for i in range(8):
+    for i in range(20):
         state, metrics = step(state, jax.random.PRNGKey(10 + i))
         losses.append(float(metrics["vf_loss"]))
-    assert losses[-1] < 0.5 * losses[0], losses
+    # mean of the last 3 iterations for robustness to per-iter noise
+    tail = sum(losses[-3:]) / 3.0
+    assert tail < 0.5 * losses[0], losses
 
 
 def test_ppo_sharded():
