@@ -48,14 +48,16 @@ def make_fast_rollout(env, num_steps: int, tile: int | None = None):
     )
 
 
-def make_fast_step(env, tile: int | None = None):
+def make_fast_step(env, tile: int | None = None,
+                   num_envs: int | None = None):
     """Build the fused per-step kernel for a batched env.
 
     Returns ``step(qpos, qvel, t, actions) -> (qpos, qvel, t, reward,
     terminated)`` over one ``pallas_call`` (no auto-reset — the caller
     folds resets in XLA), or ``None`` when the robot/task combination has
-    no fused kernel or needs state the kernel does not carry (extended
-    observations, per-episode goal sampling)."""
+    no fused kernel or needs state the kernel does not carry (per-episode
+    goal sampling).  ``num_envs`` overrides the env's batch size — the
+    shard_map rollout uses this to build per-device-shard kernels."""
     import importlib
 
     spec = env.spec
@@ -75,5 +77,6 @@ def make_fast_step(env, tile: int | None = None):
     except AssertionError:
         return None  # object worlds / unsupported task heads
     return k.build_step_kernel(
-        ks, env.num_envs, **({"tile": tile} if tile else {})
+        ks, num_envs if num_envs is not None else env.num_envs,
+        **({"tile": tile} if tile else {})
     )

@@ -77,6 +77,10 @@ def make_ppo_step(
     a_high = jnp.asarray(a_high, spec.dtype)
     B = env.num_envs
 
+    # the fused Pallas step when the env built one (TPU default)
+    step_fn = (env._fast if getattr(env, "_fast", None) is not None
+               else env._step_batch)
+
     def collect(params, env_state, key):
         obs0 = jax.vmap(spec._observe)(env_state)
 
@@ -88,7 +92,7 @@ def make_ppo_step(
             )
             action = jnp.clip(action, a_low, a_high)
             logp = _gaussian_logp(mean, params.log_std, action)
-            res = env._step_batch(st, action)
+            res = step_fn(st, action)
             done = res.terminated | res.truncated
             out = (obs, action, logp, value, res.reward, done)
             return (res.state, res.obs), out

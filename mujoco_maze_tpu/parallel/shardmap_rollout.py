@@ -16,7 +16,14 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8: keyword-only API, check_rep renamed check_vma
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=True):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..envs.batched import BatchedMazeEnv
@@ -24,17 +31,35 @@ from ..envs.env import EnvState
 from .mesh import DATA_AXIS
 
 
-def make_shardmap_rollout(env: BatchedMazeEnv, mesh: Mesh, num_steps: int):
+def make_shardmap_rollout(env: BatchedMazeEnv, mesh: Mesh, num_steps: int,
+                          fast_step: bool | None = None):
     """Build jitted ``(state, key) -> (state', reward_sum, episodes)``.
 
     ``state`` is the batched EnvState (sharded or not — shardings are
     constrained inside); reward_sum/episodes are psum-reduced scalars
     replicated on every device.
+
+    When the env has a fused Pallas step kernel (``env._fast``, the TPU
+    default), each device shard runs its own per-shard kernel inside the
+    shard_map body — the pallas_call sees only the local slice, so the
+    fast path scales across chips without GSPMD having to partition the
+    kernel.  Pass ``fast_step=False`` to force the vmapped XLA step (or
+    ``True`` to force per-shard kernels, e.g. interpret mode in tests).
     """
     spec = env.spec
     n_dev = mesh.devices.size
     assert env.num_envs % n_dev == 0
     local = env.num_envs // n_dev
+
+    if fast_step is None:
+        fast_step = env._fast is not None
+    local_step = None
+    if fast_step:
+        from ..ops import make_fast_step
+
+        kern = make_fast_step(env, num_envs=local)
+        if kern is not None:
+            local_step = env._build_fast_step(kern)
 
     low, high = spec.action_bounds()
     low = jnp.asarray(low, spec.dtype)
@@ -53,7 +78,10 @@ def make_shardmap_rollout(env: BatchedMazeEnv, mesh: Mesh, num_steps: int):
                 key_t, (local, spec.robot.action_dim),
                 minval=low, maxval=high, dtype=spec.dtype,
             )
-            res = jax.vmap(env._step_single)(st, actions)
+            if local_step is not None:
+                res = local_step(st, actions)
+            else:
+                res = jax.vmap(env._step_single)(st, actions)
             done = res.terminated | res.truncated
             return (res.state, res.obs), (
                 jnp.sum(res.reward), jnp.sum(done.astype(jnp.int32))

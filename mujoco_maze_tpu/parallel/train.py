@@ -122,6 +122,10 @@ def make_train_step(
     a_low = jnp.asarray(a_low, spec.dtype)
     a_high = jnp.asarray(a_high, spec.dtype)
 
+    # the fused Pallas step when the env built one (TPU default)
+    step_fn = (env._fast if getattr(env, "_fast", None) is not None
+               else env._step_batch)
+
     def unroll(params: PolicyParams, state: EnvState, key: jax.Array):
         obs0 = jax.vmap(spec._observe)(state)
 
@@ -132,7 +136,7 @@ def make_train_step(
                 key_t, mean.shape, mean.dtype
             )
             action = jnp.clip(action, a_low, a_high)
-            res = env._step_batch(st, action)
+            res = step_fn(st, action)
             logp = _gaussian_logp(mean, params.log_std, action)
             done = res.terminated | res.truncated
             return (res.state, res.obs), (logp, value, res.reward, done)

@@ -122,3 +122,23 @@ def test_scaling_efficiency_harness(eight_devices):
     assert set(out["efficiency"]) == {1, 2}
     assert out["efficiency"][1] == pytest.approx(1.0)
     assert out["efficiency"][2] > 0
+
+
+def test_shardmap_rollout_fast_step_matches(eight_devices):
+    """Per-shard Pallas step kernels inside shard_map (interpret mode on
+    CPU) must reproduce the vmapped-XLA shard_map rollout: same reward
+    sum, episode count and final state."""
+    from mujoco_maze_tpu.parallel.shardmap_rollout import make_shardmap_rollout
+
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    env = mmt.make_batched("PointUMaze-v0", num_envs=32)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    state = mesh_lib.shard_env_state(state, mesh)
+    roll_ref = make_shardmap_rollout(env, mesh, num_steps=8, fast_step=False)
+    roll_fast = make_shardmap_rollout(env, mesh, num_steps=8, fast_step=True)
+    s1, rew1, eps1 = roll_ref(state, jax.random.PRNGKey(1))
+    s2, rew2, eps2 = roll_fast(state, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        np.asarray(s2.qpos), np.asarray(s1.qpos), atol=1e-4)
+    np.testing.assert_allclose(float(rew2), float(rew1), rtol=1e-4)
+    assert int(eps2) == int(eps1)
