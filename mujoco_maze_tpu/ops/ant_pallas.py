@@ -8,6 +8,9 @@ layer, running entirely inside one ``pallas_call`` with the batch on lanes.
 
 The XLA scan path pays ~1000 kernel launches per env step (≈20K HLO ops);
 here the whole rollout is one launch.
+
+Built on the :mod:`.lane_env` template; the RK4 stage coefficients ride
+SMEM tables (pallas kernels cannot capture array constants).
 """
 
 from __future__ import annotations
@@ -17,7 +20,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .ant_math import (
@@ -28,6 +30,7 @@ from .ant_math import (
     integrate_ant,
     world_from_spec,
 )
+from .lane_env import LaneEnvKernel, goal_heads, normal, uniform
 
 NQ, NV, NU = 15, 14, 8  # ant-only dof counts; worlds with blocks add dofs
 
@@ -91,21 +94,6 @@ def spec_from_env(spec, solver_iters: int = 10) -> AntEnvKernelSpec:
     )
 
 
-def _uniform(shape, lo, hi):
-    bits = pltpu.prng_random_bits((1,) + tuple(shape))[0]
-    u = (bits >> 8).astype(jnp.float32) * np.float32(2.0**-24)
-    return lo + u * (hi - lo)
-
-
-def _normal(shape):
-    """Box-Muller from two uniforms."""
-    u1 = _uniform(shape, np.float32(1e-7), np.float32(1.0))
-    u2 = _uniform(shape, np.float32(0.0), np.float32(1.0))
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
-        np.float32(2.0 * np.pi) * u2
-    )
-
-
 def _rk4_scan(es: AntEnvKernelSpec, q, v, ctrl, hs_read, ws_read):
     """RK4 via a 4-stage fori_loop: ONE forward-dynamics instance in the IR.
 
@@ -138,235 +126,78 @@ def _rk4_scan(es: AntEnvKernelSpec, q, v, ctrl, hs_read, ws_read):
     return q_out, v_out
 
 
-def _env_step(es: AntEnvKernelSpec, q, v, t, ctrl, hs_read, ws_read):
-    x0, y0 = q[0], q[1]
+def _make_kernel(es: AntEnvKernelSpec,
+                 tile: int | None = None) -> LaneEnvKernel:
+    nq, nv = es.nq, es.nv
     dt_outer = np.float32(es.ac.timestep * es.frame_skip)
 
-    def body(_, carry):
-        q, v = carry
-        return _rk4_scan(es, q, v, ctrl, hs_read, ws_read)
+    def env_step(q, v, t, ctrl, hs_read, ws_read):
+        x0, y0 = q[0], q[1]
 
-    q, v = jax.lax.fori_loop(0, es.frame_skip, body, (q, v))
-    velx = (q[0] - x0) / dt_outer
-    vely = (q[1] - y0) / dt_outer
-    forward = jnp.sqrt(velx * velx + vely * vely)
-    ctrl_cost = np.float32(1e-4) * sum(c * c for c in ctrl)
-    inner = forward - ctrl_cost
-    t = t + 1
-    if es.reward_type == "dist":
-        gp, dm = es.goal_pos[0], es.goal_dim_mask[0]
-        ddx = (q[0] - np.float32(gp[0])) * np.float32(dm[0])
-        ddy = (q[1] - np.float32(gp[1])) * np.float32(dm[1])
-        ddz = (q[2] - np.float32(gp[2])) * np.float32(dm[2])
-        outer = -jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz) / np.float32(es.scale)
-    elif es.reward_type == "goal":
-        outer = jnp.full_like(q[0], np.float32(es.penalty))
-    else:
-        outer = jnp.zeros_like(q[0])
-    term = jnp.zeros_like(q[0], dtype=jnp.bool_)
-    for gi in reversed(range(len(es.goal_valid))):
-        if not es.goal_valid[gi]:
-            continue
-        gp, dm = es.goal_pos[gi], es.goal_dim_mask[gi]
-        ddx = (q[0] - np.float32(gp[0])) * np.float32(dm[0])
-        ddy = (q[1] - np.float32(gp[1])) * np.float32(dm[1])
-        ddz = (q[2] - np.float32(gp[2])) * np.float32(dm[2])
-        near = ddx * ddx + ddy * ddy + ddz * ddz <= np.float32(
-            es.goal_threshold[gi] ** 2
+        def body(_, carry):
+            q, v = carry
+            return _rk4_scan(es, q, v, ctrl, hs_read, ws_read)
+
+        q, v = jax.lax.fori_loop(0, es.frame_skip, body, (q, v))
+        velx = (q[0] - x0) / dt_outer
+        vely = (q[1] - y0) / dt_outer
+        forward = jnp.sqrt(velx * velx + vely * vely)
+        ctrl_cost = np.float32(1e-4) * sum(c * c for c in ctrl)
+        inner = forward - ctrl_cost
+        t = t + 1
+        outer, term = goal_heads(es, q[0], q[1], q[2])
+        reward = np.float32(es.inner_scale) * inner + outer
+        trunc = t >= es.episode_limit
+        return q, v, t, reward, term, trunc
+
+    def sample_ctrl(tile_):
+        return tuple(
+            uniform((tile_,), np.float32(-30.0), np.float32(30.0))
+            for _ in range(NU)
         )
-        term = term | near
-        if es.reward_type == "goal":
-            outer = jnp.where(near, np.float32(es.goal_scale[gi]), outer)
-    reward = np.float32(es.inner_scale) * inner + outer
-    trunc = t >= es.episode_limit
-    return q, v, t, reward, term, trunc
 
-
-def build_rollout_kernel(es: AntEnvKernelSpec, num_envs: int, num_steps: int,
-                         tile: int | None = None, interpret: bool = None):
-    tile = min(_default_tile(es.aw, tile), num_envs)
-    assert num_envs % tile == 0
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    grid = (num_envs // tile,)
-    nq, nv = es.nq, es.nv
-
-    def kernel(qpos_ref, qvel_ref, t_ref, seed_ref, hs_ref, ws_ref,
-               out_qpos, out_qvel, out_t, out_rew, out_eps):
-        pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid)
-        q = tuple(qpos_ref[i, :] for i in range(nq))
-        v = tuple(qvel_ref[i, :] for i in range(nv))
-        t = t_ref[0, :]
-        hs_read = lambda i: hs_ref[i]
-        ws_read = lambda i: ws_ref[i]
-
-        def body(i, carry):
-            q, v, t, rew_sum, eps = carry
-            ctrl = tuple(
-                _uniform((tile,), np.float32(-30.0), np.float32(30.0))
-                for _ in range(NU)
+    def sample_reset(q, v, tile_):
+        # reset: ant qpos0 + U(±0.1) (quat renormalized), qvel ~ N(0, 0.1);
+        # world/block dofs zeroed (models/ant.py ZERO_WORLD_DOFS_ON_RESET
+        # parity)
+        q_r = [
+            np.float32(es.qpos0[i]) + uniform(
+                (tile_,), np.float32(-0.1), np.float32(0.1)
             )
-            q, v, t, reward, term, trunc = _env_step(
-                es, q, v, t, ctrl, hs_read, ws_read
-            )
-            done = term | trunc
-            # reset: ant qpos0 + U(±0.1) (quat renormalized), qvel ~
-            # N(0, 0.1); world/block dofs zeroed (models/ant.py
-            # ZERO_WORLD_DOFS_ON_RESET parity)
-            q_r = [
-                np.float32(es.qpos0[i]) + _uniform(
-                    (tile,), np.float32(-0.1), np.float32(0.1)
-                )
-                for i in range(NQ)
-            ] + [
-                q[i] * 0 + float(es.qpos0[i]) for i in range(NQ, nq)
-            ]
-            qn = jnp.sqrt(
-                q_r[3] ** 2 + q_r[4] ** 2 + q_r[5] ** 2 + q_r[6] ** 2
-            )
-            for j in range(3, 7):
-                q_r[j] = q_r[j] / qn
-            v_r = [_normal((tile,)) * np.float32(0.1) for _ in range(NV)] + [
-                v[i] * 0 for i in range(NV, nv)
-            ]
-            q = tuple(jnp.where(done, qr, qq) for qr, qq in zip(q_r, q))
-            v = tuple(jnp.where(done, vr, vv) for vr, vv in zip(v_r, v))
-            t = jnp.where(done, 0, t)
-            return q, v, t, rew_sum + reward, eps + done.astype(jnp.int32)
-
-        q, v, t, rew_sum, eps = jax.lax.fori_loop(
-            0, num_steps, body,
-            (q, v, t, jnp.zeros((tile,), jnp.float32),
-             jnp.zeros((tile,), jnp.int32)),
+            for i in range(NQ)
+        ] + [
+            q[i] * 0 + float(es.qpos0[i]) for i in range(NQ, nq)
+        ]
+        qn = jnp.sqrt(
+            q_r[3] ** 2 + q_r[4] ** 2 + q_r[5] ** 2 + q_r[6] ** 2
         )
-        for i in range(nq):
-            out_qpos[i, :] = q[i]
-        for i in range(nv):
-            out_qvel[i, :] = v[i]
-        out_t[0, :] = t
-        out_rew[0, :] = rew_sum
-        out_eps[0, :] = eps
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nq, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((nv, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
-        ],
-        interpret=interpret,
-        compiler_params=_VMEM_LIMIT,
-    )
+        for j in range(3, 7):
+            q_r[j] = q_r[j] / qn
+        v_r = [normal((tile_,)) * np.float32(0.1) for _ in range(NV)] + [
+            v[i] * 0 for i in range(NV, nv)
+        ]
+        return tuple(q_r), tuple(v_r)
 
     h = np.float32(es.ac.timestep)
     hs_tab = jnp.asarray([0.0, h / 2, h / 2, h], jnp.float32)
     ws_tab = jnp.asarray([1.0, 2.0, 2.0, 1.0], jnp.float32)
 
-    @jax.jit
-    def rollout(qpos, qvel, t, seed):
-        qp, qv, tt, rew, eps = call(
-            qpos.T.astype(jnp.float32),
-            qvel.T.astype(jnp.float32),
-            t[None, :].astype(jnp.int32),
-            seed[None].astype(jnp.int32),
-            hs_tab,
-            ws_tab,
-        )
-        return qp.T, qv.T, tt[0], jnp.sum(rew), jnp.sum(eps)
+    return LaneEnvKernel(
+        nq, nv, NU, env_step, sample_ctrl, sample_reset,
+        smem_tables=(hs_tab, ws_tab),
+        default_tile=_default_tile(es.aw, tile),
+        compiler_params=_VMEM_LIMIT,
+    )
 
-    return rollout
+
+def build_rollout_kernel(es: AntEnvKernelSpec, num_envs: int, num_steps: int,
+                         tile: int | None = None, interpret: bool = None):
+    return _make_kernel(es, tile).build_rollout(
+        num_envs, num_steps, tile, interpret)
 
 
 def build_step_kernel(es: AntEnvKernelSpec, num_envs: int,
                       tile: int | None = None, interpret: bool = None):
     """Single-step with explicit actions, no auto-reset (differential
     testing vs MazeEnvSpec.step)."""
-    tile = min(_default_tile(es.aw, tile), num_envs)
-    assert num_envs % tile == 0
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    grid = (num_envs // tile,)
-    nq, nv = es.nq, es.nv
-
-    def kernel(qpos_ref, qvel_ref, t_ref, act_ref, hs_ref, ws_ref,
-               out_qpos, out_qvel, out_t, out_rew, out_term):
-        q = tuple(qpos_ref[i, :] for i in range(nq))
-        v = tuple(qvel_ref[i, :] for i in range(nv))
-        t = t_ref[0, :]
-        ctrl = tuple(act_ref[i, :] for i in range(NU))
-        q, v, t, reward, term, trunc = _env_step(
-            es, q, v, t, ctrl, lambda i: hs_ref[i], lambda i: ws_ref[i]
-        )
-        for i in range(nq):
-            out_qpos[i, :] = q[i]
-        for i in range(nv):
-            out_qvel[i, :] = v[i]
-        out_t[0, :] = t
-        out_rew[0, :] = reward
-        out_term[0, :] = term
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NU, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((nq, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nq, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((nv, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.bool_),
-        ],
-        interpret=interpret,
-        compiler_params=_VMEM_LIMIT,
-    )
-
-    h = np.float32(es.ac.timestep)
-    hs_tab = jnp.asarray([0.0, h / 2, h / 2, h], jnp.float32)
-    ws_tab = jnp.asarray([1.0, 2.0, 2.0, 1.0], jnp.float32)
-
-    @jax.jit
-    def step(qpos, qvel, t, actions):
-        qp, qv, tt, rew, term = call(
-            qpos.T.astype(jnp.float32),
-            qvel.T.astype(jnp.float32),
-            t[None, :].astype(jnp.int32),
-            actions.T.astype(jnp.float32),
-            hs_tab,
-            ws_tab,
-        )
-        return qp.T, qv.T, tt[0], rew[0], term[0]
-
-    return step
+    return _make_kernel(es, tile).build_step(num_envs, tile, interpret)

@@ -19,11 +19,10 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
+from .lane_env import LaneEnvKernel, goal_heads, uniform
 
 LANE = 128
 
@@ -282,47 +281,46 @@ def _step_math(ks: PointKernelSpec, x, y, ori, vx, vy, vr, t, ax, ar):
 
     t = t + 1
     # task heads on obs[:3] = (x, y, ori2)
-    if ks.reward_type == "dist":
-        gp = ks.goal_pos[0]
-        dm = ks.goal_dim_mask[0]
-        ddx = (x - np.float32(gp[0])) * np.float32(dm[0])
-        ddy = (y - np.float32(gp[1])) * np.float32(dm[1])
-        ddo = (ori2 - np.float32(gp[2])) * np.float32(dm[2])
-        reward = -jnp.sqrt(ddx * ddx + ddy * ddy + ddo * ddo) / np.float32(ks.scale)
-    elif ks.reward_type == "goal":
-        reward = jnp.full_like(x, np.float32(ks.penalty))
-    else:
-        reward = jnp.zeros_like(x)
-    terminated = jnp.zeros_like(x, dtype=jnp.bool_)
-    # first-hit-wins over goals (maze_task.py:357-360): iterate reversed so
-    # earlier goals override later ones
-    for gi in reversed(range(len(ks.goal_valid))):
-        if not ks.goal_valid[gi]:
-            continue
-        gp = ks.goal_pos[gi]
-        dm = ks.goal_dim_mask[gi]
-        ddx = (x - np.float32(gp[0])) * np.float32(dm[0])
-        ddy = (y - np.float32(gp[1])) * np.float32(dm[1])
-        ddo = (ori2 - np.float32(gp[2])) * np.float32(dm[2])
-        d2 = ddx * ddx + ddy * ddy + ddo * ddo
-        near = d2 <= np.float32(ks.goal_threshold[gi] ** 2)
-        terminated = terminated | near
-        if ks.reward_type == "goal":
-            reward = jnp.where(near, np.float32(ks.goal_scale[gi]), reward)
+    reward, terminated = goal_heads(ks, x, y, ori2)
     truncated = t >= ks.episode_limit
     return x, y, ori2, vx, vy, vr, t, reward, terminated, truncated
 
 
-def _uniform(shape, lo, hi):
-    # TPU PRNG requires rank >= 2 outputs
-    bits = pltpu.prng_random_bits((1,) + tuple(shape))[0]
-    u = (bits >> 8).astype(jnp.float32) * np.float32(2.0**-24)
-    return lo + u * (hi - lo)
+def _make_kernel(ks: PointKernelSpec,
+                 default_tile: int) -> LaneEnvKernel:
+    def env_step(q, v, t, ctrl):
+        x, y, ori = q
+        vx, vy, vr = v
+        ax, ar = ctrl
+        x, y, ori, vx, vy, vr, t, reward, term, trunc = _step_math(
+            ks, x, y, ori, vx, vy, vr, t, ax, ar
+        )
+        return (x, y, ori), (vx, vy, vr), t, reward, term, trunc
 
+    def sample_ctrl(tile):
+        # Point action box: forward gain in ±1, rotation delta in ±0.25
+        return (
+            uniform((tile,), np.float32(-1.0), np.float32(1.0)),
+            uniform((tile,), np.float32(-0.25), np.float32(0.25)),
+        )
 
-def _interpret_default():
-    # CPU/GPU fall back to the Pallas interpreter (tests, CI)
-    return jax.default_backend() != "tpu"
+    def sample_reset(q, v, tile):
+        # reference noise law point.py:71-81: qpos ~ U(-0.1, 0.1),
+        # qvel ~ U(0, 0.1)
+        q_r = tuple(
+            uniform((tile,), np.float32(-0.1), np.float32(0.1))
+            for _ in range(3)
+        )
+        v_r = tuple(
+            uniform((tile,), np.float32(0.0), np.float32(0.1))
+            for _ in range(3)
+        )
+        return q_r, v_r
+
+    return LaneEnvKernel(
+        3, 3, 2, env_step, sample_ctrl, sample_reset,
+        default_tile=default_tile,
+    )
 
 
 def build_rollout_kernel(ks: PointKernelSpec, num_envs: int, num_steps: int,
@@ -333,172 +331,13 @@ def build_rollout_kernel(ks: PointKernelSpec, num_envs: int, num_steps: int,
     Actions are sampled on-core (uniform over the Point action box) — the
     benchmark/random-rollout path with zero host↔device interchange.
     """
-    tile = min(tile, num_envs)
-    assert num_envs % tile == 0
-    if interpret is None:
-        interpret = _interpret_default()
-    grid = (num_envs // tile,)
-
-    def kernel(qpos_ref, qvel_ref, t_ref, seed_ref, out_qpos, out_qvel,
-               out_t, out_rew, out_eps):
-        pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid)
-        x = qpos_ref[0, :]
-        y = qpos_ref[1, :]
-        ori = qpos_ref[2, :]
-        vx = qvel_ref[0, :]
-        vy = qvel_ref[1, :]
-        vr = qvel_ref[2, :]
-        t = t_ref[0, :]
-
-        def body(i, carry):
-            x, y, ori, vx, vy, vr, t, rew_sum, eps = carry
-            ax = _uniform((tile,), np.float32(-1.0), np.float32(1.0))
-            ar = _uniform((tile,), np.float32(-0.25), np.float32(0.25))
-            x, y, ori, vx, vy, vr, t, reward, term, trunc = _step_math(
-                ks, x, y, ori, vx, vy, vr, t, ax, ar
-            )
-            done = term | trunc
-            # auto-reset (reference noise law point.py:71-81)
-            rx = _uniform((tile,), np.float32(-0.1), np.float32(0.1))
-            ry = _uniform((tile,), np.float32(-0.1), np.float32(0.1))
-            rori = _uniform((tile,), np.float32(-0.1), np.float32(0.1))
-            rvx = _uniform((tile,), np.float32(0.0), np.float32(0.1))
-            rvy = _uniform((tile,), np.float32(0.0), np.float32(0.1))
-            rvr = _uniform((tile,), np.float32(0.0), np.float32(0.1))
-            x = jnp.where(done, rx, x)
-            y = jnp.where(done, ry, y)
-            ori = jnp.where(done, rori, ori)
-            vx = jnp.where(done, rvx, vx)
-            vy = jnp.where(done, rvy, vy)
-            vr = jnp.where(done, rvr, vr)
-            t = jnp.where(done, 0, t)
-            rew_sum = rew_sum + reward
-            eps = eps + done.astype(jnp.int32)
-            return x, y, ori, vx, vy, vr, t, rew_sum, eps
-
-        x, y, ori, vx, vy, vr, t, rew_sum, eps = jax.lax.fori_loop(
-            0, num_steps, body,
-            (x, y, ori, vx, vy, vr, t, jnp.zeros((tile,), jnp.float32),
-             jnp.zeros((tile,), jnp.int32)),
-        )
-        out_qpos[0, :] = x
-        out_qpos[1, :] = y
-        out_qpos[2, :] = ori
-        out_qvel[0, :] = vx
-        out_qvel[1, :] = vy
-        out_qvel[2, :] = vr
-        out_t[0, :] = t
-        out_rew[0, :] = rew_sum
-        out_eps[0, :] = eps
-
-    n_tiles = grid[0]
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((3, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((3, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
-        ],
-        interpret=interpret,
-    )
-
-    @jax.jit
-    def rollout(qpos, qvel, t, seed):
-        """qpos/qvel: (B, 3) f32; t: (B,) i32; seed: () i32."""
-        qp, qv, tt, rew, eps = call(
-            qpos.T.astype(jnp.float32),
-            qvel.T.astype(jnp.float32),
-            t[None, :].astype(jnp.int32),
-            seed[None].astype(jnp.int32),
-        )
-        return (
-            qp.T, qv.T, tt[0],
-            jnp.sum(rew), jnp.sum(eps),
-        )
-
-    return rollout
+    return _make_kernel(ks, tile).build_rollout(
+        num_envs, num_steps, tile, interpret)
 
 
 def build_step_kernel(ks: PointKernelSpec, num_envs: int, tile: int = 512,
                       interpret: bool = None):
     """Single-step mode with explicit actions, no auto-reset — the
-    differential-testing surface against MazeEnvSpec.step."""
-    tile = min(tile, num_envs)
-    assert num_envs % tile == 0
-    if interpret is None:
-        interpret = _interpret_default()
-    grid = (num_envs // tile,)
-
-    def kernel(qpos_ref, qvel_ref, t_ref, act_ref, out_qpos, out_qvel,
-               out_t, out_rew, out_term):
-        x, y, ori = qpos_ref[0, :], qpos_ref[1, :], qpos_ref[2, :]
-        vx, vy, vr = qvel_ref[0, :], qvel_ref[1, :], qvel_ref[2, :]
-        t = t_ref[0, :]
-        ax, ar = act_ref[0, :], act_ref[1, :]
-        x, y, ori, vx, vy, vr, t, reward, term, trunc = _step_math(
-            ks, x, y, ori, vx, vy, vr, t, ax, ar
-        )
-        out_qpos[0, :] = x
-        out_qpos[1, :] = y
-        out_qpos[2, :] = ori
-        out_qvel[0, :] = vx
-        out_qvel[1, :] = vy
-        out_qvel[2, :] = vr
-        out_t[0, :] = t
-        out_rew[0, :] = reward
-        out_term[0, :] = term
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((3, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((3, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.int32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_envs), jnp.bool_),
-        ],
-        interpret=interpret,
-    )
-
-    @jax.jit
-    def step(qpos, qvel, t, actions):
-        qp, qv, tt, rew, term = call(
-            qpos.T.astype(jnp.float32),
-            qvel.T.astype(jnp.float32),
-            t[None, :].astype(jnp.int32),
-            actions.T.astype(jnp.float32),
-        )
-        return qp.T, qv.T, tt[0], rew[0], term[0]
-
-    return step
+    differential-testing surface against MazeEnvSpec.step and the public
+    batched-API fast path."""
+    return _make_kernel(ks, tile).build_step(num_envs, tile, interpret)
