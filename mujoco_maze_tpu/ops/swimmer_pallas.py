@@ -13,6 +13,14 @@ no contact pairs — SURVEY quirk list), so no collision stage is needed.
 Also serves the 2-link Reacher (nq=4, one actuator) — the closed form
 (:mod:`.swimmer_math`) is generic over the link count.
 
+Object worlds (SwimmerPush/Fall/MultiFall — registered by the reference's
+mechanical walk even though its tests skip them, __init__.py:67-78): the
+swimmer path has no robot↔object coupling (parity with
+``MazeEnvSpec._step_dynamic``, which steps only the robot dofs), so world
+dofs ride the kernel as pass-through lanes: reset noise per the swimmer law
+(reference swimmer.py:55-68 noises the FULL qpos/qvel, nothing zeroed),
+constant during the episode.
+
 Built on the :mod:`.lane_env` template: this module supplies only the
 dynamics body and the action/reset noise laws.
 """
@@ -41,11 +49,17 @@ class SwimmerEnvKernelSpec(NamedTuple):
     inner_scale: float
     frame_skip: int
     episode_limit: int
+    n_world: int = 0           # pass-through world dofs (blocks/balls)
 
 
 def spec_from_env(spec) -> SwimmerEnvKernelSpec:
     assert spec.robot.NAME in ("Swimmer", "Reacher"), "swimmer-family kernel"
-    assert not spec.block_runtimes and not spec.ball_runtimes
+    # Object worlds: the swimmer path never couples to blocks/balls — world
+    # dofs are pass-through lanes.  Tasks with OBS_OFFSET != 0 would put the
+    # reward head on an object we don't move; no swimmer-registered task
+    # does (BlockCarry/Billiard gate swimmer=None).
+    assert spec.task.OBS_OFFSET == 0, "swimmer kernel: robot-position heads"
+    assert spec.nq == spec.nv, "world layout is 1 qpos per dof here"
     g = spec.heads.goals
     return SwimmerEnvKernelSpec(
         dyn=spec_from_model(spec.robot.model),
@@ -60,17 +74,22 @@ def spec_from_env(spec) -> SwimmerEnvKernelSpec:
         inner_scale=float(spec.inner_reward_scaling),
         frame_skip=int(spec.robot.frame_skip),
         episode_limit=1000,
+        n_world=int(spec.nq - spec.robot.nq),
     )
 
 
 def _make_kernel(es: SwimmerEnvKernelSpec) -> LaneEnvKernel:
     ks = es.dyn
     nq = 3 + ks.n_links - 1
+    nq_total = nq + es.n_world
     nu = ks.n_act
     dt_outer = np.float32(ks.timestep * es.frame_skip)
 
-    def env_step(q, v, t, ctrl):
-        """One outer env step (frame_skip RK4 + env layer)."""
+    def env_step(q_full, v_full, t, ctrl):
+        """One outer env step (frame_skip RK4 + env layer); world dofs
+        (q_full[nq:]) are pass-through — the swimmer path has no
+        robot↔object coupling (MazeEnvSpec._step_dynamic parity)."""
+        q, v = q_full[:nq], v_full[:nq]
         x0, y0 = q[0], q[1]
         for _ in range(es.frame_skip):
             q, v = rk4_step_swimmer(ks, q, v, ctrl)
@@ -84,7 +103,8 @@ def _make_kernel(es: SwimmerEnvKernelSpec) -> LaneEnvKernel:
         outer, term = goal_heads(es, q[0], q[1])
         reward = np.float32(es.inner_scale) * inner + outer
         trunc = t >= es.episode_limit
-        return q, v, t, reward, term, trunc
+        return (tuple(q) + q_full[nq:], tuple(v) + v_full[nq:],
+                t, reward, term, trunc)
 
     def sample_ctrl(tile):
         return tuple(
@@ -93,19 +113,22 @@ def _make_kernel(es: SwimmerEnvKernelSpec) -> LaneEnvKernel:
         )
 
     def sample_reset(q, v, tile):
-        # swimmer reset noise law: qpos AND qvel ~ U(-0.1, 0.1)
+        # swimmer reset noise law: qpos AND qvel ~ U(-0.1, 0.1), applied to
+        # the FULL state incl. world dofs (reference swimmer.py:55-68;
+        # ZERO_WORLD_DOFS_ON_RESET is False for this family)
         q_r = tuple(
             uniform((tile,), np.float32(-0.1), np.float32(0.1))
-            for _ in range(nq)
+            for _ in range(nq_total)
         )
         v_r = tuple(
             uniform((tile,), np.float32(-0.1), np.float32(0.1))
-            for _ in range(nq)
+            for _ in range(nq_total)
         )
         return q_r, v_r
 
     return LaneEnvKernel(
-        nq, nq, nu, env_step, sample_ctrl, sample_reset, default_tile=1024
+        nq_total, nq_total, nu, env_step, sample_ctrl, sample_reset,
+        default_tile=1024,
     )
 
 

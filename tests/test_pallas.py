@@ -65,6 +65,37 @@ def test_rollout_kernel_semantics():
     assert int(t.max()) <= STEPS
 
 
+@pytest.mark.parametrize(
+    "env_id", ["SwimmerPush-v0", "ReacherFall-v1", "SwimmerMultiFall-v2"]
+)
+def test_swimmer_object_world_step_kernel(env_id):
+    """Swimmer-family object worlds: world dofs are pass-through lanes
+    (the swimmer path has no robot↔object coupling); the kernel must match
+    the XLA path on the full state incl. the static block dofs."""
+    from mujoco_maze_tpu.ops import swimmer_pallas as sp
+
+    B = 32
+    env = mmt.make_batched(env_id, num_envs=B, auto_reset=False)
+    spec = env.spec
+    assert spec.nq > spec.robot.nq, "world dofs expected"
+    step_k = sp.build_step_kernel(sp.spec_from_env(spec), B, tile=B)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    for _ in range(2):
+        actions = jnp.asarray(
+            rng.uniform(-1, 1, (B, spec.robot.action_dim)), jnp.float32)
+        res = env.step(state, actions)
+        qp, qv, tt, rew, term = step_k(state.qpos, state.qvel, state.t, actions)
+        np.testing.assert_allclose(
+            np.asarray(qp), np.asarray(res.state.qpos), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(qv), np.asarray(res.state.qvel), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(rew), np.asarray(res.reward), atol=1e-5)
+        assert bool((term == res.terminated).all())
+        state = res.state
+
+
 def test_rollout_kernel_rejects_object_worlds():
     spec = mmt.make_spec("PointBilliard-v0")
     with pytest.raises(AssertionError):
