@@ -4,10 +4,14 @@ Per-robot kernels keep the batch on VPU lanes and run the entire
 frame_skip x integrator x env-head step (plus auto-reset and on-core PRNG
 for random-policy rollouts) in a single ``pallas_call``:
 
-- :mod:`.point_pallas`   — kinematic point robot (bit-exact vs XLA)
-- :mod:`.swimmer_pallas` — closed-form 3-link swimmer dynamics
+- :mod:`.point_pallas`   — kinematic point robot (bit-exact vs XLA), incl.
+  object worlds (quasi-static blocks, kick/roll/bounce balls,
+  object-position task heads)
+- :mod:`.swimmer_pallas` — closed-form 3-link swimmer dynamics, incl.
+  object worlds (pass-through world lanes)
 - :mod:`.ant_pallas`     — full contact dynamics ant (FK / CRB / RNE /
-  impedance contacts + projected Jacobi, scalar-component form)
+  impedance contacts + projected Jacobi, scalar-component form), incl.
+  movable-block worlds
 
 :func:`make_fast_rollout` dispatches on the env's robot.
 """

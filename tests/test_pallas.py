@@ -14,7 +14,14 @@ import mujoco_maze_tpu as mmt
 from mujoco_maze_tpu.ops import point_pallas as pp
 
 
-@pytest.mark.parametrize("env_id", ["PointUMaze-v0", "PointUMaze-v1", "Point4Rooms-v2"])
+@pytest.mark.parametrize(
+    "env_id",
+    ["PointUMaze-v0", "PointUMaze-v1", "Point4Rooms-v2",
+     # object worlds: blocks (quasi-static push), balls (kick/roll/bounce),
+     # object-position heads (OBS_OFFSET=3)
+     "PointPush-v0", "PointBilliard-v0", "PointBlockCarry-v0",
+     "PointFall-v0"],
+)
 def test_step_kernel_matches_xla(env_id):
     B = 128
     env = mmt.make_batched(env_id, num_envs=B, auto_reset=False)
@@ -96,23 +103,28 @@ def test_swimmer_object_world_step_kernel(env_id):
         state = res.state
 
 
-def test_rollout_kernel_rejects_object_worlds():
-    spec = mmt.make_spec("PointBilliard-v0")
+def test_rollout_kernel_rejects_unsupported_worlds():
+    """The ant kernel still rejects object-BALL worlds (freejoint spheres);
+    Point/Swimmer object worlds build since round 2."""
+    from mujoco_maze_tpu.ops import ant_pallas as ap
+
+    spec = mmt.make_spec("AntSmallBilliard-v0")
     with pytest.raises(AssertionError):
-        pp.spec_from_env(spec)
+        ap.spec_from_env(spec)
 
 
 def test_make_fast_rollout_dispatch():
     """ops.make_fast_rollout: per-robot kernel dispatch; None when the
-    robot/task combo has no fused kernel (object worlds).  Builds only —
-    the on-core PRNG inside rollout kernels has no CPU interpret lowering,
-    so invocation is covered by the TPU-only rollout tests."""
+    robot/task combo has no fused kernel.  Builds only — the on-core PRNG
+    inside rollout kernels has no CPU interpret lowering, so invocation is
+    covered by the TPU-only rollout tests."""
     from mujoco_maze_tpu import ops
 
-    for env_id in ("PointUMaze-v0", "SwimmerUMaze-v0", "AntUMaze-v0"):
+    for env_id in ("PointUMaze-v0", "SwimmerUMaze-v0", "AntUMaze-v0",
+                   "PointBilliard-v0", "SwimmerPush-v0"):
         env = mmt.make_batched(env_id, num_envs=16)
         assert ops.make_fast_rollout(env, num_steps=4, tile=16) is not None
-    env2 = mmt.make_batched("PointBilliard-v0", num_envs=4)
+    env2 = mmt.make_batched("AntSmallBilliard-v0", num_envs=4)
     assert ops.make_fast_rollout(env2, num_steps=4) is None
 
 
