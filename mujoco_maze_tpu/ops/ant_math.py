@@ -486,6 +486,26 @@ class AntBlock(NamedTuple):
     margin: float        # box geom margin
 
 
+class AntBall(NamedTuple):
+    """One free-jointed object ball (AntBilliard worlds).
+
+    TPU analog of the reference's freejoint object-ball synthesis
+    (`maze_env.py:539-560`, Ant's ``OBJBALL_TYPE = "freejoint"``): a lone
+    free body (7 qpos / 6 qvel — linear world, angular body-frame) with a
+    sphere geom at body-frame ``com`` and isotropic inertia."""
+
+    qadr: int            # absolute qpos address (7 wide)
+    vadr: int            # absolute dof address (6 wide)
+    radius: float
+    mass: float
+    com: tuple           # (3,) body-frame com == sphere geom offset
+    inertia: float       # isotropic inertia about the com (2/5 m r²)
+    margin: float        # geom margin
+    solimp: tuple        # (d0, dmax, width) of the ball geom
+    solref_tc: float     # clamped time constant of the ball geom
+    friction: float
+
+
 class AntWorld(NamedTuple):
     """Static maze collision data for the ant kernel."""
 
@@ -497,15 +517,22 @@ class AntWorld(NamedTuple):
     sph_local: np.ndarray    # (S, 3)
     sph_radius: np.ndarray   # (S,)
     sph_margin: np.ndarray   # (S,)
+    sph_solimp: np.ndarray   # (S, 3) per-sphere solimp (pair mixing)
     friction: float
     solimp: tuple            # (d0, dmax, width)
     solref_tc: float         # clamped time constant
     n_near_boxes: int        # torso-proximity box prune count
     blocks: tuple = ()       # movable AntBlocks (AntPush/AntFall worlds)
+    balls: tuple = ()        # free-jointed AntBalls (AntBilliard worlds)
 
 
 def nv_total(aw: AntWorld) -> int:
-    return 14 + sum(len(b.axes) for b in aw.blocks)
+    return 14 + sum(len(b.axes) for b in aw.blocks) + 6 * len(aw.balls)
+
+
+def free_joints(aw: AntWorld) -> tuple:
+    """(qadr, vadr) of every free joint in the lane layout (root + balls)."""
+    return ((0, 0),) + tuple((bl.qadr, bl.vadr) for bl in aw.balls)
 
 
 def world_from_spec(spec, n_near_boxes: int = 4) -> AntWorld:
@@ -514,15 +541,43 @@ def world_from_spec(spec, n_near_boxes: int = 4) -> AntWorld:
     g0 = model.geoms[0][1]
     tc = max(g0.solref[0], 2.0 * spec.robot.timestep)
 
-    # movable blocks: slide-jointed box bodies appended after the ant's 13
-    assert len(cs.pair_i) == 0, "ant kernel: dynamic sphere pairs unsupported"
+    # world bodies appended after the ant's 13: slide-jointed movable blocks
+    # and/or free-jointed object balls
     falling = {zdof for _, zdof in getattr(spec, "_falling_blocks", ())}
     blocks = []
+    balls = []
     N_ANT_BODIES = 13
+    FREE_T, SLIDE_T = 0, 2
+    ball_bodies = set()
     dbox_by_body = {int(b): k for k, b in enumerate(cs.dbox_body)}
+    geom_by_body = {b: g for b, g in model.geoms}
     for bodyidx in range(N_ANT_BODIES, model.nbody):
         jids = [j for j in range(model.njnt) if int(model.jnt_body[j]) == bodyidx]
-        assert all(int(model.jnt_type[j]) == 2 for j in jids), (
+        jtypes = {int(model.jnt_type[j]) for j in jids}
+        if jtypes == {FREE_T}:
+            # free-jointed object ball (envs/env.py _build_engine_world)
+            (j,) = jids
+            g = geom_by_body[bodyidx]
+            r = float(g.size[0])
+            m = float(model.body_mass[bodyidx])
+            balls.append(
+                AntBall(
+                    qadr=int(model.jnt_qposadr[j]),
+                    vadr=int(model.jnt_dofadr[j]),
+                    radius=r,
+                    mass=m,
+                    com=tuple(float(x) for x in model.body_com[bodyidx]),
+                    inertia=float(model.body_inertia[bodyidx][0][0]),
+                    margin=float(g.margin),
+                    solimp=tuple(g.solimp),
+                    solref_tc=max(float(g.solref[0]),
+                                  2.0 * spec.robot.timestep),
+                    friction=float(g.friction[0]),
+                )
+            )
+            ball_bodies.add(bodyidx)
+            continue
+        assert jtypes <= {SLIDE_T}, (
             "ant kernel: only slide-jointed blocks (no SPIN/ball dofs)"
         )
         axes, vadr, ranges = [], [], []
@@ -550,21 +605,267 @@ def world_from_spec(spec, n_near_boxes: int = 4) -> AntWorld:
             )
         )
 
+    # robot test spheres: exclude the ball spheres (handled via AntBall —
+    # the contact set lists them because ball geoms are spheres)
+    robot_sph = np.asarray(
+        [s for s in range(len(cs.sph_body))
+         if int(cs.sph_body[s]) not in ball_bodies], np.int32)
+
     return AntWorld(
         box_center=np.asarray(cs.box_center, np.float64),
         box_half=np.asarray(cs.box_half, np.float64),
         box_margin=np.asarray(cs.box_margin, np.float64),
         floor_margin=float(cs.floor_margin),
-        sph_body=np.asarray(cs.sph_body, np.int32),
-        sph_local=np.asarray(cs.sph_local, np.float64),
-        sph_radius=np.asarray(cs.sph_radius, np.float64),
-        sph_margin=np.asarray(cs.sph_margin, np.float64),
+        sph_body=np.asarray(cs.sph_body, np.int32)[robot_sph],
+        sph_local=np.asarray(cs.sph_local, np.float64)[robot_sph],
+        sph_radius=np.asarray(cs.sph_radius, np.float64)[robot_sph],
+        sph_margin=np.asarray(cs.sph_margin, np.float64)[robot_sph],
+        sph_solimp=np.asarray(cs.sph_solimp, np.float64)[robot_sph],
         friction=float(g0.friction[0]),
         solimp=tuple(g0.solimp),
         solref_tc=tc,
         n_near_boxes=min(n_near_boxes, len(cs.box_center)),
         blocks=tuple(blocks),
+        balls=tuple(balls),
     )
+
+
+def _ball_kin(bl: AntBall, q):
+    """(pos, R, com_w) of a free-jointed ball from the lane state."""
+    a = bl.qadr
+    pos = Vec3(q[a], q[a + 1], q[a + 2])
+    R = quat_to_mat3(q[a + 3], q[a + 4], q[a + 5], q[a + 6])
+    cl = Vec3(
+        jnp.full_like(q[a], bl.com[0]), jnp.full_like(q[a], bl.com[1]),
+        jnp.full_like(q[a], bl.com[2]),
+    )
+    return pos, R, pos + R.mul_vec(cl)
+
+
+def _ball_jac_entries(bl: AntBall, pos: Vec3, R: Mat3, point: Vec3,
+                      direction: Vec3, sign: float):
+    """Sparse J entries of ``direction`` at ``point`` for the ball's 6 dofs
+    (linear world axes, angular body axes — engine free-joint convention)."""
+    out = {}
+    out[bl.vadr + 0] = sign * direction.x
+    out[bl.vadr + 1] = sign * direction.y
+    out[bl.vadr + 2] = sign * direction.z
+    rel = point - pos
+    for k in range(3):
+        w = R.col(k)
+        out[bl.vadr + 3 + k] = sign * w.cross(rel).dot(direction)
+    return out
+
+
+def _ball_mass_block(bl: AntBall, pos: Vec3, R: Mat3, com_w: Vec3, like):
+    """6x6 mass matrix (list of lists of lane scalars) of one free ball.
+
+    Same Jacobian form as :func:`mass_matrix`: M[i][j] = m J_i·J_j +
+    W_j·(I_w W_i); linear dofs have W = None, J = e_k; angular dofs have
+    W = R·e_k (body axes), J = W × (com − pos)."""
+    m = bl.mass
+    I_iso = bl.inertia
+    # I_w = R (I_iso·1) Rᵀ = I_iso·1 for the isotropic ball inertia
+    Ws = [R.col(k) for k in range(3)]
+    Js_ang = [w.cross(com_w - pos) for w in Ws]
+    one = jnp.ones_like(like)
+    zero = jnp.zeros_like(like)
+    es = [Vec3(one, zero, zero), Vec3(zero, one, zero), Vec3(zero, zero, one)]
+    M = [[zero for _ in range(6)] for _ in range(6)]
+    for i in range(3):
+        M[i][i] = m * one
+        for j in range(3):
+            M[i][3 + j] = m * Js_ang[j].dot(es[i])
+            M[3 + j][i] = M[i][3 + j]
+    for i in range(3):
+        for j in range(i, 3):
+            t = m * Js_ang[i].dot(Js_ang[j]) + I_iso * Ws[j].dot(Ws[i])
+            M[3 + i][3 + j] = t
+            M[3 + j][3 + i] = t
+    return M
+
+
+def _ball_bias(bl: AntBall, pos: Vec3, R: Mat3, com_w: Vec3, v, gravity):
+    """6 bias lanes (gravity + velocity products) of one free ball —
+    mirror of the torso free-joint section of :func:`rne_bias`."""
+    like = pos.x
+    zero = jnp.zeros_like(like)
+    zero3 = _zero3(like)
+    one = jnp.ones_like(like)
+    a = bl.vadr
+    cdof = [
+        (zero3, Vec3(one, zero, zero)),
+        (zero3, Vec3(zero, one, zero)),
+        (zero3, Vec3(zero, zero, one)),
+    ]
+    for k in range(3):
+        w = R.col(k)
+        cdof.append((w, pos.cross(w)))
+    w_b = zero3
+    for k in range(3):
+        w_b = w_b + cdof[3 + k][0].scale(v[a + 3 + k])
+    v_lin = Vec3(v[a], v[a + 1], v[a + 2])
+    for k in range(3):
+        v_lin = v_lin + cdof[3 + k][1].scale(v[a + 3 + k])
+    v_ball = (w_b, v_lin)
+    # cacc: fictitious base acc (0, +g ẑ) + body-fixed angular cdofdots
+    acc = (zero3, Vec3(zero, zero, jnp.full_like(like, gravity)))
+    for k in range(3):
+        dcd = _motion_cross(*v_ball, *cdof[3 + k])
+        acc = (acc[0] + dcd[0].scale(v[a + 3 + k]),
+               acc[1] + dcd[1].scale(v[a + 3 + k]))
+
+    def spatial_I(mot):
+        alpha, a_lin = mot
+        m = bl.mass
+        c = com_w
+        # I_w = I_iso (isotropic); Io α = I_w α − m c×(c×α) + m c×a_lin
+        moment = (alpha.scale(bl.inertia)
+                  - c.cross(c.cross(alpha)).scale(m)
+                  + c.cross(a_lin).scale(m))
+        force = (a_lin - c.cross(alpha)).scale(m)
+        return moment, force
+
+    Ia = spatial_I(acc)
+    Iv = spatial_I(v_ball)
+    vxf = (v_ball[0].cross(Iv[0]) + v_ball[1].cross(Iv[1]),
+           v_ball[0].cross(Iv[1]))
+    f = (Ia[0] + vxf[0], Ia[1] + vxf[1])
+    return [wd.dot(f[0]) + vd.dot(f[1]) for wd, vd in cdof]
+
+
+def _sphere_aabb_nearest2(cx, cy, cz, r, box_center, box_half, box_margin):
+    """Nearest-2 static AABBs for one sphere center (branch-free min
+    chains); returns [(p Vec3, n Vec3, dist, box_margin lane), ...]."""
+    B = len(box_center)
+    like = cx
+    INF = jnp.full_like(like, np.inf)
+    cand = []
+    for b in range(B):
+        bc, bh = box_center[b], box_half[b]
+        lx = cx - float(bc[0])
+        ly = cy - float(bc[1])
+        lz = cz - float(bc[2])
+        hx, hy, hz = float(bh[0]), float(bh[1]), float(bh[2])
+        clx = jnp.clip(lx, -hx, hx)
+        cly = jnp.clip(ly, -hy, hy)
+        clz = jnp.clip(lz, -hz, hz)
+        dxo, dyo, dzo = lx - clx, ly - cly, lz - clz
+        d_out = jnp.sqrt(dxo * dxo + dyo * dyo + dzo * dzo + 1e-12)
+        outside = d_out > 1e-6
+        ex = hx - jnp.abs(lx)
+        ey = hy - jnp.abs(ly)
+        ez = hz - jnp.abs(lz)
+        mmin = jnp.minimum(jnp.minimum(ex, ey), ez)
+        is_x = ex <= jnp.minimum(ey, ez)
+        is_y = (~is_x) & (ey <= ez)
+        is_z = (~is_x) & (~is_y)
+        nix = jnp.where(is_x, jnp.where(lx >= 0, 1.0, -1.0), 0.0)
+        niy = jnp.where(is_y, jnp.where(ly >= 0, 1.0, -1.0), 0.0)
+        niz = jnp.where(is_z, jnp.where(lz >= 0, 1.0, -1.0), 0.0)
+        dist = jnp.where(outside, d_out - r, -mmin - r)
+        nrm = Vec3(jnp.where(outside, dxo / d_out, nix),
+                   jnp.where(outside, dyo / d_out, niy),
+                   jnp.where(outside, dzo / d_out, niz))
+        p = Vec3(float(bc[0]) + jnp.where(outside, clx, lx - nix * (-mmin)),
+                 float(bc[1]) + jnp.where(outside, cly, ly - niy * (-mmin)),
+                 float(bc[2]) + jnp.where(outside, clz, lz - niz * (-mmin)))
+        marg = jnp.full_like(like, float(box_margin[b]))
+        cand.append((dist - marg, p, nrm, dist, marg))
+    if len(cand) <= 2:
+        return [(p, n, d, m) for _, p, n, d, m in cand]
+    best = [INF, _zero3(like), _zero3(like), like * 0, like * 0]
+    second = [INF, _zero3(like), _zero3(like), like * 0, like * 0]
+    for eff, p, nrm, dist, marg in cand:
+        cur = [eff, p, nrm, dist, marg]
+        b1 = cur[0] < best[0]
+        b2 = (~b1) & (cur[0] < second[0])
+
+        def pick(cond, a_, b_):
+            if isinstance(a_, Vec3):
+                return Vec3(jnp.where(cond, a_.x, b_.x),
+                            jnp.where(cond, a_.y, b_.y),
+                            jnp.where(cond, a_.z, b_.z))
+            return jnp.where(cond, a_, b_)
+
+        new_second = [pick(b1, bb, pick(b2, cc, ss))
+                      for bb, cc, ss in zip(best, cur, second)]
+        best = [pick(b1, cc, bb) for cc, bb in zip(cur, best)]
+        second = new_second
+    return [(sel[1], sel[2], sel[3], sel[4]) for sel in (best, second)]
+
+
+def _ball_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q, centers):
+    """Candidate contacts involving free object balls (AntBilliard worlds):
+    ball vs floor, ball vs nearest-2 static AABBs, every robot test sphere
+    vs ball (contact.py pair enumeration), ball vs ball.  Per-row solimp /
+    solref / friction follow contact_qfrc's pair mixing (sphere values for
+    static contacts; element means + friction max for dynamic pairs)."""
+    if not aw.balls:
+        return []
+    assert not aw.blocks, (
+        "ant kernel: ball+block worlds (none registered) unsupported"
+    )
+    like = fk.pos[0].x
+    rows = []
+    kin = [(bl,) + _ball_kin(bl, q) for bl in aw.balls]
+    up = Vec3(jnp.zeros_like(like), jnp.zeros_like(like),
+              jnp.ones_like(like))
+    for bi, (bl, bpos, bR, bcom) in enumerate(kin):
+        sol_b = (bl.solimp[0], bl.solimp[1], bl.solimp[2], bl.solref_tc,
+                 bl.friction)
+        ctr = bcom  # sphere geom center == body com (geom at (0,0,r))
+        r = bl.radius
+        # floor
+        p = Vec3(ctr.x, ctr.y, ctr.z - r)
+        rows.append((None, p, up, ctr.z - r,
+                     bl.margin + aw.floor_margin, (), ((bl, 1.0),), sol_b))
+        # nearest-2 static wall boxes (the ball roams the whole maze, so it
+        # gets its own prune anchor rather than the torso's)
+        for (pb, nb, db, mb) in _sphere_aabb_nearest2(
+                ctr.x, ctr.y, ctr.z, r,
+                aw.box_center, aw.box_half, aw.box_margin):
+            rows.append((None, pb, nb, db, bl.margin + mb, (),
+                         ((bl, 1.0),), sol_b))
+        # robot test spheres vs ball (pair rows: i = sphere, j = ball;
+        # normal points ball → sphere, contact.py:424-440).  All 37
+        # candidates are kept — a straddling ant can press several spheres
+        # (even of one capsule) into the ball at once, and pruning was
+        # measured to break the engine differential in deep-overlap states.
+        for s in range(len(aw.sph_body)):
+            body = int(aw.sph_body[s])
+            rs = float(aw.sph_radius[s])
+            c = centers[s]
+            d = c - ctr
+            dn = jnp.sqrt(d.dot(d) + 1e-12)
+            n = d.scale(1.0 / dn)
+            dist = dn - (rs + r)
+            pos_c = ctr + n.scale(r + dist * 0.5)
+            si = aw.sph_solimp[s]
+            sp = (0.5 * (float(si[0]) + bl.solimp[0]),
+                  0.5 * (float(si[1]) + bl.solimp[1]),
+                  0.5 * (float(si[2]) + bl.solimp[2]),
+                  max(aw.solref_tc, bl.solref_tc),
+                  max(aw.friction, bl.friction))
+            rows.append((body, pos_c, n, dist,
+                         float(aw.sph_margin[s]) + bl.margin, (),
+                         ((bl, -1.0),), sp))
+        # ball vs earlier balls
+        for bj in range(bi):
+            bl2, _, _, bcom2 = kin[bj]
+            d = bcom2 - ctr
+            dn = jnp.sqrt(d.dot(d) + 1e-12)
+            n = d.scale(1.0 / dn)  # points ball_i → ball_j (i first body)
+            dist = dn - (bl2.radius + bl.radius)
+            pos_c = ctr + n.scale(bl.radius + dist * 0.5)
+            sp = (0.5 * (bl.solimp[0] + bl2.solimp[0]),
+                  0.5 * (bl.solimp[1] + bl2.solimp[1]),
+                  0.5 * (bl.solimp[2] + bl2.solimp[2]),
+                  max(bl.solref_tc, bl2.solref_tc),
+                  max(bl.friction, bl2.friction))
+            rows.append((None, pos_c, n, dist, bl.margin + bl2.margin, (),
+                         ((bl2, 1.0), (bl, -1.0)), sp))
+    return rows
 
 
 def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
@@ -594,7 +895,7 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
         dist = c.z - r
         p = Vec3(c.x, c.y, c.z - r)
         rows.append((int(aw.sph_body[s]), p, up, dist,
-                     float(aw.sph_margin[s]) + aw.floor_margin, ()))
+                     float(aw.sph_margin[s]) + aw.floor_margin, (), (), None))
     # movable blocks: sphere vs axis-aligned moving box (all pairs — the
     # worlds have 1-3 blocks; no prune needed)
     for bl in aw.blocks:
@@ -639,7 +940,9 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
                 bcz + jnp.where(outside, clz, lz - niz * (-mmin)),
             )
             rows.append((body, p, nrm, dist,
-                         float(aw.sph_margin[s]) + bl.margin, xdofs))
+                         float(aw.sph_margin[s]) + bl.margin, xdofs, (),
+                         None))
+    rows += _ball_rows(ac, aw, fk, q, centers)
     B = len(aw.box_center)
     if B == 0:
         return rows
@@ -726,7 +1029,7 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
                          Vec3(nx, ny, nz), dist, sm + nb["m"]))
         if len(cand) <= 2:
             for _, p, nrm, dist, marg in cand:
-                rows.append((body, p, nrm, dist, marg, ()))
+                rows.append((body, p, nrm, dist, marg, (), (), None))
         else:
             like0 = cand[0][0]
             INFc = jnp.full_like(like0, np.inf)
@@ -755,7 +1058,8 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
                 best = [pick(b1, cc, bb) for cc, bb in zip(cur, best)]
                 second = new_second
             for sel in (best, second):
-                rows.append((body, sel[1], sel[2], sel[3], sel[4], ()))
+                rows.append((body, sel[1], sel[2], sel[3], sel[4], (), (),
+                             None))
     return rows
 
 
@@ -763,10 +1067,11 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
                 solver_iters: int = 6):
     """qacc (tuple of nv lane scalars) with contacts + limits.
 
-    Dof layout: 14 ant dofs, then block slide dofs (model order).  The mass
-    matrix is block-diagonal — dense 14x14 ant block + a diagonal for the
-    (uncoupled) block slides — so the Cholesky stays 14x14 and block dofs
-    solve by scalar division; coupling happens only through contact rows."""
+    Dof layout: 14 ant dofs, then block slide / ball free dofs (model
+    order).  The mass matrix is block-diagonal — dense 14x14 ant block, a
+    diagonal for the (uncoupled) block slides, and a dense 6x6 per free
+    ball — so the Cholesky stays small per tree; coupling happens only
+    through contact rows."""
     like = q[0]
     NV = nv_total(aw)
     fk = fk_ant(ac, q)
@@ -781,6 +1086,25 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
             blk_inv[d] = float(bl.inv_mass)
             if axis == 2:
                 bias[d] = jnp.full_like(like, float(ac.gravity) / bl.inv_mass)
+    # free object balls: 6x6 mass block + full gravity/gyroscopic bias
+    ball_blocks = []  # (AntBall, M6, eye_cols6)
+    for bl in aw.balls:
+        bpos, bR, bcom = _ball_kin(bl, q)
+        for k, b6 in enumerate(_ball_bias(bl, bpos, bR, bcom, v,
+                                          float(ac.gravity))):
+            bias[bl.vadr + k] = b6
+        M6 = _ball_mass_block(bl, bpos, bR, bcom, like)
+        cols6 = []
+        for d in range(6):
+            e = [jnp.full_like(like, 1.0 if i == d else 0.0)
+                 for i in range(6)]
+            col, _ = chol_solve(M6, e)
+            cols6.append(col)  # Minv6[:, d]
+        ball_blocks.append((bl, M6, cols6))
+    ball_of_dof = {}
+    for bi, (bl, _, _) in enumerate(ball_blocks):
+        for k in range(6):
+            ball_of_dof[bl.vadr + k] = bi
     tau = [jnp.zeros_like(like) for _ in range(NV)]
     for u in range(8):
         c = jnp.clip(ctrl[u], -ac.ctrl_hi, ac.ctrl_hi)
@@ -791,9 +1115,14 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
 
     rhs0 = [tau[i] - bias[i] for i in range(14)]
     qacc0, L = chol_solve(M, rhs0)
-    qacc0 = list(qacc0) + [
-        (tau[d] - bias[d]) * float(blk_inv[d]) for d in range(14, NV)
-    ]
+    qacc0 = list(qacc0) + [jnp.zeros_like(like) for _ in range(14, NV)]
+    for d, inv in blk_inv.items():
+        qacc0[d] = (tau[d] - bias[d]) * float(inv)
+    for bl, M6, _ in ball_blocks:
+        r6 = [tau[bl.vadr + k] - bias[bl.vadr + k] for k in range(6)]
+        sol6, _ = chol_solve(M6, r6)
+        for k in range(6):
+            qacc0[bl.vadr + k] = sol6[k]
 
     # M⁻¹ columns needed: limited dofs (6..13) + contact rows use full Minv
     eye_cols = []
@@ -806,12 +1135,22 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
         """Minv[d1, d2] as a lane scalar / python float, or None if 0."""
         if d1 < 14 and d2 < 14:
             return eye_cols[d2][d1]
-        if d1 == d2:
+        b1 = ball_of_dof.get(d1)
+        b2 = ball_of_dof.get(d2)
+        if b1 is not None and b1 == b2:
+            bl, _, cols6 = ball_blocks[b1]
+            return cols6[d2 - bl.vadr][d1 - bl.vadr]
+        if d1 == d2 and d1 in blk_inv:
             return blk_inv[d1]
         return None
 
     def minv_diag(d):
-        return eye_cols[d][d] if d < 14 else blk_inv[d]
+        if d < 14:
+            return eye_cols[d][d]
+        if d in ball_of_dof:
+            bl, _, cols6 = ball_blocks[ball_of_dof[d]]
+            return cols6[d - bl.vadr][d - bl.vadr]
+        return blk_inv[d]
 
     f_con = [jnp.zeros_like(like) for _ in range(NV)]
 
@@ -868,13 +1207,12 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
     # contacts
     rows = _contact_rows(ac, aw, fk, q)
     if rows:
-        d0c, dmaxc, widthc = aw.solimp
-        tcc = aw.solref_tc
-        b_imp = 2.0 / (dmaxc * tcc)
-        mu = aw.friction
+        d0c_w, dmaxc_w, widthc_w = aw.solimp
+        tcc_w = aw.solref_tc
         # per-contact data: J rows (normal + 2 tangents) as sparse dof dicts
+        ball_kin_cache = {bl.vadr: _ball_kin(bl, q) for bl in aw.balls}
         con = []
-        for body, p, nrm, dist, margin, xdofs in rows:
+        for body, p, nrm, dist, margin, xdofs, balls_sgn, solpar in rows:
             # tangent frame
             use_x = jnp.abs(nrm.x) < 0.5
             ref = Vec3(jnp.where(use_x, 1.0, 0.0), jnp.where(use_x, 0.0, 1.0),
@@ -883,8 +1221,11 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
             t1n = jnp.sqrt(t1.dot(t1) + 1e-12)
             t1 = Vec3(t1.x / t1n, t1.y / t1n, t1.z / t1n)
             t2 = nrm.cross(t1)
-            jac = body_dof_jacobians(fk, body, p)
-            dofs = _dofs_of_body(body)
+            if body is not None:
+                jac = body_dof_jacobians(fk, body, p)
+                dofs = _dofs_of_body(body)
+            else:
+                jac, dofs = {}, ()
 
             def jrow(direction):
                 row = {}
@@ -895,11 +1236,17 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
                 # slide dof moves the box along its axis → entry -dir[axis]
                 for d, axis in xdofs:
                     row[d] = -(direction.x, direction.y, direction.z)[axis]
+                # free-ball dofs: second (or only) body of the contact
+                for bl, sgn in balls_sgn:
+                    bpos, bR, _ = ball_kin_cache[bl.vadr]
+                    for d, val in _ball_jac_entries(
+                            bl, bpos, bR, p, direction, sgn).items():
+                        row[d] = row.get(d, jnp.zeros_like(like)) + val
                 return row
 
             con.append(dict(
-                dist=dist, margin=margin,
-                Jn=jrow(nrm), Jt1=jrow(t1), Jt2=jrow(t2), dofs=dofs,
+                dist=dist, margin=margin, solpar=solpar,
+                Jn=jrow(nrm), Jt1=jrow(t1), Jt2=jrow(t2),
             ))
 
         def minv_mul(vec):
@@ -911,7 +1258,15 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
                     s = s + eye_cols[j][i] * vec[j]
                 out.append(s)
             for d in range(14, NV):
-                out.append(vec[d] * float(blk_inv[d]))
+                out.append(jnp.zeros_like(like))
+            for d, inv in blk_inv.items():
+                out[d] = vec[d] * float(inv)
+            for bl, _, cols6 in ball_blocks:
+                for i in range(6):
+                    s = jnp.zeros_like(like)
+                    for j in range(6):
+                        s = s + cols6[j][i] * vec[bl.vadr + j]
+                    out[bl.vadr + i] = s
             return out
 
         def sparse_dot(row, vec):
@@ -922,7 +1277,17 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
 
         # per-row A = J Minv Jᵀ via the row's sparse dof support
         all_rows = []
+        mus = []
         for c in con:
+            # per-row constants: the world default, or the contact pair's
+            # own solimp/solref/friction mix (ball rows — contact.py parity)
+            if c["solpar"] is None:
+                d0c, dmaxc, widthc, tcc, mu_c = (
+                    d0c_w, dmaxc_w, widthc_w, tcc_w, aw.friction)
+            else:
+                d0c, dmaxc, widthc, tcc, mu_c = c["solpar"]
+            b_imp = 2.0 / (dmaxc * tcc)
+            mus.append(mu_c)
             active = c["dist"] < c["margin"]
             r = c["dist"] - c["margin"]
             imp = d0c + (dmaxc - d0c) * jnp.clip(-r / widthc, 0.0, 1.0)
@@ -956,7 +1321,7 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
                 fn = jnp.where(all_rows[3 * i]["active"], fn, 0.0)
                 ft1, ft2 = fs[3 * i + 1], fs[3 * i + 2]
                 ftn = jnp.sqrt(ft1 * ft1 + ft2 * ft2 + 1e-12)
-                scale = jnp.minimum(1.0, mu * fn / ftn)
+                scale = jnp.minimum(1.0, mus[i] * fn / ftn)
                 out[3 * i] = fn
                 out[3 * i + 1] = jnp.where(
                     all_rows[3 * i + 1]["active"], ft1 * scale, 0.0
@@ -994,16 +1359,45 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
 
     rhs = [tau[i] + f_con[i] - bias[i] for i in range(14)]
     qacc, _ = chol_solve(M, rhs)
-    qacc = list(qacc)
-    for d in range(14, NV):
-        qacc.append((tau[d] + f_con[d] - bias[d]) * float(blk_inv[d]))
+    qacc = list(qacc) + [jnp.zeros_like(like) for _ in range(14, NV)]
+    for d, inv in blk_inv.items():
+        qacc[d] = (tau[d] + f_con[d] - bias[d]) * float(inv)
+    for bl, M6, _ in ball_blocks:
+        r6 = [tau[bl.vadr + k] + f_con[bl.vadr + k] - bias[bl.vadr + k]
+              for k in range(6)]
+        sol6, _ = chol_solve(M6, r6)
+        for k in range(6):
+            qacc[bl.vadr + k] = sol6[k]
     return tuple(qacc)
 
 
-def integrate_ant(q, v, h):
+def _quat_step(q, v, h, qa, va, out):
+    """Free-joint quaternion update q[qa+3:qa+7] ⊞ v[va+3:va+6]·h."""
+    wx, wy, wz = v[va + 3], v[va + 4], v[va + 5]
+    angle = jnp.sqrt(wx * wx + wy * wy + wz * wz + 1e-18)
+    half = angle * h * 0.5
+    sh = jnp.sin(half) / angle
+    dw = jnp.cos(half)
+    dx = wx * sh
+    dy = wy * sh
+    dz = wz * sh
+    qw, qx, qy, qz = q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6]
+    # right-multiply: quat ∘ dq (body-frame angular velocity)
+    nw = qw * dw - qx * dx - qy * dy - qz * dz
+    nx = qw * dx + qx * dw + qy * dz - qz * dy
+    ny = qw * dy - qx * dz + qy * dw + qz * dx
+    nz = qw * dz + qx * dy - qy * dx + qz * dw
+    norm = jnp.sqrt(nw * nw + nx * nx + ny * ny + nz * nz)
+    out[qa + 3], out[qa + 4], out[qa + 5], out[qa + 6] = (
+        nw / norm, nx / norm, ny / norm, nz / norm)
+
+
+def integrate_ant(q, v, h, extra_free=()):
     """q ⊞ v·h with MuJoCo free-joint semantics (engine.integrate_pos
     parity: world-frame linear, body-frame angular exponential).  Extra
-    trailing block slide dofs (len(q) > 15) integrate linearly."""
+    trailing block slide dofs integrate linearly; ``extra_free`` lists
+    (qadr, vadr) of additional free joints (object balls), each of which
+    shifts the qpos/dof alignment of everything after it by one."""
     out = list(q)
     for i in range(3):
         out[i] = q[i] + v[i] * h
@@ -1023,14 +1417,27 @@ def integrate_ant(q, v, h):
     nz = qw * dz + qx * dy - qy * dx + qz * dw
     norm = jnp.sqrt(nw * nw + nx * nx + ny * ny + nz * nz)
     out[3], out[4], out[5], out[6] = nw / norm, nx / norm, ny / norm, nz / norm
+    free_spans = sorted((qa, va) for qa, va in extra_free)
+    covered = set()
+    for qa, va in free_spans:
+        for i in range(3):
+            out[qa + i] = q[qa + i] + v[va + i] * h
+        _quat_step(q, v, h, qa, va, out)
+        covered.update(range(qa, qa + 7))
     for i in range(7, len(q)):
-        out[i] = q[i] + v[i - 1] * h
+        if i in covered:
+            continue
+        # qpos → dof alignment: the root free joint shifts by 1, each
+        # earlier extra free joint by another 1
+        shift = 1 + sum(1 for qa, _ in free_spans if qa < i)
+        out[i] = q[i] + v[i - shift] * h
     return tuple(out)
 
 
 def rk4_step_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl, solver_iters=6):
     """One RK4 step (mj tableau) of ac.timestep with contacts+limits."""
     h = ac.timestep
+    xf = tuple((bl.qadr, bl.vadr) for bl in aw.balls)
 
     def acc(q_, v_):
         return forward_ant(ac, aw, q_, v_, ctrl, solver_iters)
@@ -1039,17 +1446,17 @@ def rk4_step_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl, solver_iters=6):
         return tuple(x + y * s for x, y in zip(a, b))
 
     a1 = acc(q, v)
-    q2 = integrate_ant(q, v, h / 2)
+    q2 = integrate_ant(q, v, h / 2, xf)
     v2 = vadd(v, a1, h / 2)
     a2 = acc(q2, v2)
-    q3 = integrate_ant(q, v2, h / 2)
+    q3 = integrate_ant(q, v2, h / 2, xf)
     v3 = vadd(v, a2, h / 2)
     a3 = acc(q3, v3)
-    q4 = integrate_ant(q, v3, h)
+    q4 = integrate_ant(q, v3, h, xf)
     v4 = vadd(v, a3, h)
     a4 = acc(q4, v4)
     v_avg = tuple((va + 2 * vb + 2 * vc + vd) / 6.0
                   for va, vb, vc, vd in zip(v, v2, v3, v4))
     a_avg = tuple((aa + 2 * ab + 2 * ac_ + ad) / 6.0
                   for aa, ab, ac_, ad in zip(a1, a2, a3, a4))
-    return integrate_ant(q, v_avg, h), vadd(v, a_avg, h)
+    return integrate_ant(q, v_avg, h, xf), vadd(v, a_avg, h)

@@ -41,10 +41,12 @@ _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _default_tile(aw, tile):
-    """Halve the lane tile once per two blocks to bound stack growth."""
+    """Halve the lane tile once per two blocks (9 extra live rows each) and
+    once per ball (~120 extra rows: 37 sphere-pair + floor + box contacts)
+    to bound scoped-VMEM stack growth."""
     if tile is not None:
         return tile
-    return max(128, 512 >> (len(aw.blocks) // 2))
+    return max(128, 512 >> (len(aw.blocks) // 2 + len(aw.balls)))
 
 
 class AntEnvKernelSpec(NamedTuple):
@@ -65,13 +67,11 @@ class AntEnvKernelSpec(NamedTuple):
     frame_skip: int
     episode_limit: int
     solver_iters: int
+    obs_offset: int = 0      # 0 = robot heads; 3 = first object (Billiard)
 
 
 def spec_from_env(spec, solver_iters: int = 10) -> AntEnvKernelSpec:
     assert spec.robot.NAME == "Ant"
-    assert not spec.ball_runtimes, (
-        "ant kernel supports maze + movable-block worlds (no object balls)"
-    )
     g = spec.heads.goals
     return AntEnvKernelSpec(
         ac=consts_from_model(spec.dynamic_model),
@@ -91,6 +91,7 @@ def spec_from_env(spec, solver_iters: int = 10) -> AntEnvKernelSpec:
         frame_skip=int(spec.robot.frame_skip),
         episode_limit=1000,
         solver_iters=solver_iters,
+        obs_offset=int(spec.task.OBS_OFFSET),
     )
 
 
@@ -101,6 +102,7 @@ def _rk4_scan(es: AntEnvKernelSpec, q, v, ctrl, hs_read, ws_read):
     — pallas kernels cannot capture array constants)."""
     ac = es.ac
     h = np.float32(ac.timestep)
+    xf = tuple((bl.qadr, bl.vadr) for bl in es.aw.balls)
 
     zero_v = tuple(jnp.zeros_like(x) for x in v)
 
@@ -108,7 +110,7 @@ def _rk4_scan(es: AntEnvKernelSpec, q, v, ctrl, hs_read, ws_read):
         prev_v, prev_a, acc_v, acc_a = carry
         hs = hs_read(i)
         w = ws_read(i)
-        q_s = integrate_ant(q, prev_v, hs)
+        q_s = integrate_ant(q, prev_v, hs, xf)
         v_s = tuple(vv + aa * hs for vv, aa in zip(v, prev_a))
         a_s = forward_ant(ac, es.aw, q_s, v_s, ctrl, es.solver_iters)
         return (
@@ -121,7 +123,7 @@ def _rk4_scan(es: AntEnvKernelSpec, q, v, ctrl, hs_read, ws_read):
     _, _, acc_v, acc_a = jax.lax.fori_loop(
         0, 4, stage, (v, zero_v, zero_v, zero_v)
     )
-    q_out = integrate_ant(q, tuple(x / 6.0 for x in acc_v), h)
+    q_out = integrate_ant(q, tuple(x / 6.0 for x in acc_v), h, xf)
     v_out = tuple(vv + (aa / 6.0) * h for vv, aa in zip(v, acc_a))
     return q_out, v_out
 
@@ -145,7 +147,13 @@ def _make_kernel(es: AntEnvKernelSpec,
         ctrl_cost = np.float32(1e-4) * sum(c * c for c in ctrl)
         inner = forward - ctrl_cost
         t = t + 1
-        outer, term = goal_heads(es, q[0], q[1], q[2])
+        if es.obs_offset == 3 and es.aw.balls:
+            # Billiard heads: first observed object = the ball's center3
+            # (free-joint qpos, envs/env.py _ball_center3)
+            a = es.aw.balls[0].qadr
+            outer, term = goal_heads(es, q[a], q[a + 1], q[a + 2])
+        else:
+            outer, term = goal_heads(es, q[0], q[1], q[2])
         reward = np.float32(es.inner_scale) * inner + outer
         trunc = t >= es.episode_limit
         return q, v, t, reward, term, trunc

@@ -122,13 +122,15 @@ def test_trajectory_matches_env(ant_setup):
 
 
 def test_kernel_spec_guards():
-    """The fused kernel covers maze + movable-block worlds; object-ball
-    mazes are rejected instead of silently mis-simulated."""
+    """The fused kernel covers maze, movable-block AND object-ball worlds
+    (every registered Ant env ID)."""
     from mujoco_maze_tpu.ops import ant_pallas as ap
 
     env = mmt.make_batched("AntSmallBilliard-v0", num_envs=2)
-    with pytest.raises(AssertionError):
-        ap.spec_from_env(env.spec)
+    es = ap.spec_from_env(env.spec)
+    assert es.nq == 22 and es.nv == 20 and len(es.aw.balls) == 1
+    assert es.aw.balls[0].qadr == 15 and es.aw.balls[0].vadr == 14
+    assert es.obs_offset == 3  # Billiard heads anchor on the ball
     # block worlds (AntPush/AntFall — the BASELINE benchmark configs) build
     env = mmt.make_batched("AntPush-v0", num_envs=2)
     es = ap.spec_from_env(env.spec)
@@ -175,6 +177,56 @@ def test_block_forward_matches_engine(env_id):
         err = float(jnp.abs(qacc - qacc_ref).max())
         rel = err / (1.0 + float(jnp.abs(qacc_ref).max()))
         assert rel < 5e-5, f"seed {seed}: rel err {rel}"
+
+
+def test_ball_forward_matches_engine():
+    """Ball-world forward dynamics (AntSmallBilliard: free-jointed sphere —
+    6x6 mass block, gravity/gyroscopic bias, ball-vs-floor/wall contacts and
+    all 37 robot-sphere-vs-ball pair rows) vs the generic engine.
+
+    Reference analog: the freejoint object-ball synthesis at
+    `maze_env.py:539-560` (Ant's OBJBALL_TYPE)."""
+    from mujoco_maze_tpu.physics import contact as contact_mod
+
+    spec = mmt.make_spec("AntSmallBilliard-v0")
+    model = spec.dynamic_model
+    cset = spec.contact_set
+    _, chain_mask, _, _ = eng.get_masks(model)
+    ac = consts_from_model(model)
+    aw = world_from_spec(spec)
+    assert len(aw.balls) == 1 and not aw.blocks
+
+    def extra_cb(kd, qacc0, Minv, qvel_now):
+        qfrc = contact_mod.contact_qfrc(
+            model, cset, kd, qvel_now, qacc0, Minv, chain_mask
+        )
+        return qfrc + spec.engine_support_qfrc(kd, qacc0, Minv, qvel_now)
+
+    rng = np.random.RandomState(0)
+    for trial in range(3):
+        qpos = np.asarray(model.qpos0, np.float64).copy()
+        qpos[:15] += rng.uniform(-0.08, 0.08, 15)
+        qpos[3:7] /= np.linalg.norm(qpos[3:7])
+        if trial == 0:
+            # ball overlapping the robot → pair rows active
+            qpos[15:17] = qpos[:2] + rng.uniform(-0.5, 0.5, 2)
+        else:
+            qpos[15:17] += rng.uniform(-0.5, 0.5, 2)
+        qpos[17] = 0.4 + rng.uniform(-0.05, 0.1)
+        bq = rng.randn(4)
+        qpos[18:22] = bq / np.linalg.norm(bq)
+        qvel = rng.randn(20) * 0.3
+        ctrl = rng.uniform(-30, 30, 8)
+        qpos, qvel, ctrl = (jnp.asarray(qpos), jnp.asarray(qvel),
+                            jnp.asarray(ctrl))
+        qacc_ref = eng.forward(model, qpos, qvel, ctrl, extra_qfrc=extra_cb)
+        qacc = forward_ant(
+            ac, aw, _cols(qpos), _cols(qvel), _cols(ctrl), solver_iters=10
+        )
+        qacc = jnp.stack([a[0] for a in qacc])
+        rel = float(jnp.abs(qacc - qacc_ref).max()) / (
+            1.0 + float(jnp.abs(qacc_ref).max()))
+        assert rel < 5e-5, f"trial {trial}: rel err {rel}"
 
 
 def test_block_trajectory_matches_env():

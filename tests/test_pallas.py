@@ -103,29 +103,19 @@ def test_swimmer_object_world_step_kernel(env_id):
         state = res.state
 
 
-def test_rollout_kernel_rejects_unsupported_worlds():
-    """The ant kernel still rejects object-BALL worlds (freejoint spheres);
-    Point/Swimmer object worlds build since round 2."""
-    from mujoco_maze_tpu.ops import ant_pallas as ap
-
-    spec = mmt.make_spec("AntSmallBilliard-v0")
-    with pytest.raises(AssertionError):
-        ap.spec_from_env(spec)
-
-
 def test_make_fast_rollout_dispatch():
-    """ops.make_fast_rollout: per-robot kernel dispatch; None when the
-    robot/task combo has no fused kernel.  Builds only — the on-core PRNG
-    inside rollout kernels has no CPU interpret lowering, so invocation is
+    """ops.make_fast_rollout: per-robot kernel dispatch.  Every registered
+    robot/world family builds a fused kernel since round 2 (plain mazes,
+    block worlds, ball worlds).  Builds only — the on-core PRNG inside
+    rollout kernels has no CPU interpret lowering, so invocation is
     covered by the TPU-only rollout tests."""
     from mujoco_maze_tpu import ops
 
     for env_id in ("PointUMaze-v0", "SwimmerUMaze-v0", "AntUMaze-v0",
-                   "PointBilliard-v0", "SwimmerPush-v0"):
+                   "PointBilliard-v0", "SwimmerPush-v0",
+                   "AntSmallBilliard-v0"):
         env = mmt.make_batched(env_id, num_envs=16)
         assert ops.make_fast_rollout(env, num_steps=4, tile=16) is not None
-    env2 = mmt.make_batched("AntSmallBilliard-v0", num_envs=4)
-    assert ops.make_fast_rollout(env2, num_steps=4) is None
 
 
 def test_batched_fast_step_matches_xla():
