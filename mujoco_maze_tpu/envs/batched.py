@@ -22,7 +22,7 @@ class BatchedMazeEnv:
 
     def __init__(
         self, spec: MazeEnvSpec, num_envs: int, auto_reset: bool = True,
-        fast_step: bool | None = None,
+        fast_step: bool | None = None, engine_batched: bool | None = None,
     ) -> None:
         self.spec = spec
         self.num_envs = num_envs
@@ -45,6 +45,50 @@ class BatchedMazeEnv:
             kern = make_fast_step(self)
             if kern is not None:
                 self._fast = self._build_fast_step(kern)
+        # batch-last XLA engine (physics/engine_batched): the fallback for
+        # engine-world robots with no Pallas kernel (custom robots composed
+        # through the extension API).  The vmapped per-env path leaves the
+        # tiny per-env dims on the TPU lanes; the batch-last layout is the
+        # same pipeline transposed.  Auto on TPU; opt in elsewhere
+        # (engine_batched=True) — its one-time compile is heavy.
+        if engine_batched is None:
+            engine_batched = (jax.default_backend() == "tpu"
+                              and spec.dtype == jnp.float32)
+        if (self._fast is None and engine_batched
+                and getattr(spec.robot, "USES_WORLD_ENGINE", False)
+                and not spec.task.sample_goals()):
+            self._fast = self._build_fast_step(self._engine_batched_kern())
+
+    def _engine_batched_kern(self):
+        """Adapter: the batch-last engine dynamics step exposed with the
+        Pallas step-kernel signature (qpos, qvel, t, actions) →
+        (qpos', qvel', t', reward, terminated)."""
+        from ..physics import engine_batched as engb
+
+        spec = self.spec
+        heads = self.spec.heads
+        dyn = engb.build_dynamics_step(spec)
+
+        def kern(qpos, qvel, t, actions):
+            a = actions.astype(spec.dtype)
+            xy0 = qpos[:, :2]
+            qp, qv = dyn(qpos.astype(spec.dtype), qvel.astype(spec.dtype), a)
+            tt = t + 1
+
+            def env_heads(q, v, t_, xy0_, act):
+                st = EnvState(qpos=q, qvel=v, t=t_,
+                              key=jax.random.PRNGKey(0), goal_pos=None)
+                obs = spec._observe(st)
+                fwd, cc = spec.robot.inner_reward_terms(xy0_, q[:2], act)
+                inner = spec.robot.FORWARD_REWARD_WEIGHT * fwd - cc
+                reward = (spec.inner_reward_scaling * inner
+                          + heads.reward(obs, None)).astype(spec.dtype)
+                return reward, heads.termination(obs, None)
+
+            reward, term = jax.vmap(env_heads)(qp, qv, tt, xy0, a)
+            return qp, qv, tt, reward, term
+
+        return kern
 
     def _build_fast_step(self, kern):
         """Wrap the raw kernel with obs/info assembly + XLA auto-reset."""

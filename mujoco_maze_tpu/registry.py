@@ -165,12 +165,14 @@ def make(
 
 
 def make_batched(env_id: str, num_envs: int, auto_reset: bool = True,
-                 fast_step: bool | None = None, **kwargs):
+                 fast_step: bool | None = None,
+                 engine_batched: bool | None = None, **kwargs):
     """The native batched lockstep env."""
     from .envs.batched import BatchedMazeEnv
 
     return BatchedMazeEnv(make_spec(env_id, **kwargs), num_envs,
-                          auto_reset=auto_reset, fast_step=fast_step)
+                          auto_reset=auto_reset, fast_step=fast_step,
+                          engine_batched=engine_batched)
 
 
 def register_gymnasium() -> None:
