@@ -15,6 +15,9 @@ every rep for every measured config/path so run-to-run variance is visible
 * AntUMaze-v0 / AntPush-v0 (BASELINE.json benchmark configs): the fused
   contact-dynamics ant kernel (AntPush exercises the movable-block world)
   plus the same public step-API path.
+* Round-2 coverage stages (budget-gated): PointBilliard-v0 (object-world
+  Point kernel), AntSmallBilliard-v0 (free-ball ant kernel), and the
+  batch-last XLA engine fallback (physics/engine_batched).
 """
 
 from __future__ import annotations
@@ -134,8 +137,21 @@ def main() -> None:
         fenv = mmt.make_batched(
             "PointUMaze-v0", num_envs=NUM_ENVS, fast_step=True)
         detail["PointUMaze-v0/step_api"] = _bench_xla(fenv, state, key_base=11)
-    for env_id in ("AntUMaze-v0", "AntPush-v0"):
-        if _budget_left() < 200:
+    # object-world Point kernel (round 2: all 145 env IDs build kernels)
+    if _budget_left() > 120:
+        _progress("PointBilliard pallas rollout kernel (object world)")
+        try:
+            benv = mmt.make_batched(
+                "PointBilliard-v0", num_envs=NUM_ENVS, fast_step=False)
+            bstate, _ = benv.reset(jax.random.PRNGKey(0))
+            detail["PointBilliard-v0/pallas"] = _bench_pallas_point(
+                benv.spec, bstate)
+        except Exception as e:
+            detail["PointBilliard-v0/pallas_error"] = repr(e)[:200]
+    else:
+        detail["PointBilliard-v0/skipped"] = "bench budget spent"
+    for env_id in ("AntUMaze-v0", "AntPush-v0", "AntSmallBilliard-v0"):
+        if _budget_left() < (200 if env_id != "AntSmallBilliard-v0" else 350):
             detail[f"{env_id}/skipped"] = "bench budget spent"
             continue
         _progress(f"{env_id} pallas rollout kernel")
@@ -153,6 +169,20 @@ def main() -> None:
                     aenv, astate, key_base=21, steps=ANT_STEPS)
             except Exception as e:
                 detail[f"{env_id}/step_api_error"] = repr(e)[:200]
+
+    # the batch-last XLA engine fallback (custom-robot path); heavy compile,
+    # only with a raised budget (BENCH_BUDGET_S)
+    if jax.default_backend() == "tpu" and _budget_left() > 350:
+        _progress("AntUMaze batch-last XLA engine (engine_batched)")
+        try:
+            eenv = mmt.make_batched(
+                "AntUMaze-v0", num_envs=NUM_ENVS, fast_step=False,
+                engine_batched=True)
+            estate, _ = eenv.reset(jax.random.PRNGKey(0))
+            detail["AntUMaze-v0/xla_batched"] = _bench_xla(
+                eenv, estate, key_base=31, steps=ANT_STEPS)
+        except Exception as e:
+            detail["AntUMaze-v0/xla_batched_error"] = repr(e)[:200]
 
     point_rates = [
         r

@@ -66,14 +66,20 @@ def make_fast_step(env, tile: int | None = None,
 
     spec = env.spec
     mod_name = _KERNEL_MODULES.get(spec.robot.NAME)
-    if mod_name is None:
-        return None
     # per-episode goal resampling needs goal state the kernel doesn't carry;
     # extended observations are fine — the wrapper derives them from qpos
     # via spec._observe.
     if spec.task.sample_goals():
         return None
-    k = importlib.import_module(f".{mod_name}", __package__)
+    if mod_name is None:
+        # custom robots composed through the extension API: the generic
+        # scalar-lane engine kernel (ops/engine_pallas) fuses their
+        # frame_skip x RK4 contact dynamics the same way
+        if not getattr(spec.robot, "USES_WORLD_ENGINE", False):
+            return None
+        from . import engine_pallas as k
+    else:
+        k = importlib.import_module(f".{mod_name}", __package__)
     if not hasattr(k, "build_step_kernel"):
         return None
     try:
