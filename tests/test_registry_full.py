@@ -53,3 +53,18 @@ def test_registry_build_and_step(env_id):
         out = jax.jit(spec.step)(state, act)
         assert np.isfinite(np.asarray(out.obs)).all(), env_id
         assert np.isfinite(float(out.reward)), env_id
+
+
+@pytest.mark.parametrize("env_id", mmt.env_ids())
+def test_registry_kernel_lowering(env_id):
+    """Every registered env ID lowers a fused Pallas kernel spec (round-2
+    coverage guarantee): blocks, balls, pass-through worlds included."""
+    import importlib
+
+    from mujoco_maze_tpu import ops
+
+    spec = mmt.make_spec(env_id)
+    mod = importlib.import_module(
+        f".{ops._KERNEL_MODULES[spec.robot.NAME]}", ops.__package__)
+    ks = mod.spec_from_env(spec)  # raises if the combo lost coverage
+    assert ks is not None
