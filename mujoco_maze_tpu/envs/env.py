@@ -562,7 +562,11 @@ class MazeEnvSpec:
         movable-block boxes (mass 2e-4, maze_env.py:602) with a positional
         projection: overlap of the robot's contact disc with the block AABB
         is resolved by translating the block along its movable axes, clamped
-        to its static travel limits.
+        to its static travel limits.  A second pass separates overlapping
+        block PAIRS (MultiPush/PushMaze worlds) along the axis of least
+        penetration — the quasi-static analog of the f64 path's block-block
+        contact rows (physics/point_world.py), split evenly when both
+        blocks can move on that axis.
         """
         r = self.robot.RADIUS if self.robot.RADIUS is not None else 0.5
         for b in self.block_runtimes:
@@ -600,7 +604,49 @@ class MazeEnvSpec:
                         center[k2] + push[k2], b.xy_lo[k2], b.xy_hi[k2]
                     )
                     qpos = qpos.at[idx].set(newc - b.body_pos[k2])
+        # block-block separation (pairs, least-penetration axis)
+        for i in range(len(self.block_runtimes)):
+            for j in range(i + 1, len(self.block_runtimes)):
+                qpos = self._separate_blocks(
+                    qpos, self.block_runtimes[i], self.block_runtimes[j]
+                )
         return qpos, qvel
+
+    def _separate_blocks(
+        self, qpos: jnp.ndarray, bi: _BlockRuntime, bj: _BlockRuntime
+    ) -> jnp.ndarray:
+        """Project two overlapping movable blocks apart (xy AABBs)."""
+        ci = self._block_center(qpos, bi)[:2]
+        cj = self._block_center(qpos, bj)[:2]
+        pen = (bi.half[:2] + bj.half[:2]) - jnp.abs(ci - cj)
+        overlapping = (pen[0] > 0) & (pen[1] > 0)
+        use_x = pen[0] <= pen[1]
+        for axis in range(2):
+            sel = overlapping & (use_x if axis == 0 else ~use_x)
+            d = jnp.where(pen[axis] > 0, pen[axis], 0.0)
+            sgn = jnp.sign(cj[axis] - ci[axis])
+            sgn = jnp.where(sgn == 0, 1.0, sgn)
+            # movable on this axis ⇔ a slide dof exists (static int check)
+            mi = 1.0 if bi.qpos_idx[axis] >= 0 else 0.0
+            mj = 1.0 if bj.qpos_idx[axis] >= 0 else 0.0
+            tot = mi + mj
+            if tot == 0:
+                continue
+            share_i = mi / tot
+            share_j = mj / tot
+            if bi.qpos_idx[axis] >= 0 and share_i > 0:
+                newc = jnp.clip(
+                    ci[axis] - jnp.where(sel, d * share_i, 0.0) * sgn,
+                    bi.xy_lo[axis], bi.xy_hi[axis],
+                )
+                qpos = qpos.at[bi.qpos_idx[axis]].set(newc - bi.body_pos[axis])
+            if bj.qpos_idx[axis] >= 0 and share_j > 0:
+                newc = jnp.clip(
+                    cj[axis] + jnp.where(sel, d * share_j, 0.0) * sgn,
+                    bj.xy_lo[axis], bj.xy_hi[axis],
+                )
+                qpos = qpos.at[bj.qpos_idx[axis]].set(newc - bj.body_pos[axis])
+        return qpos
 
     def _step_balls(
         self,

@@ -261,6 +261,50 @@ def _push_blocks_lanes(ks: PointKernelSpec, q, x, y):
             newc = jnp.clip(cy + pushy, np.float32(b.xy_lo[1]),
                             np.float32(b.xy_hi[1]))
             q[b.qpos_idx[1]] = newc - np.float32(b.body_pos[1])
+    # block-block separation (MazeEnvSpec._separate_blocks mirror)
+    for i in range(len(ks.blocks)):
+        for j in range(i + 1, len(ks.blocks)):
+            bi, bj = ks.blocks[i], ks.blocks[j]
+
+            def center(b, q):
+                cs = []
+                for ax in range(2):
+                    c = np.float32(b.body_pos[ax])
+                    if b.qpos_idx[ax] >= 0:
+                        c = c + q[b.qpos_idx[ax]]
+                    else:
+                        c = c + jnp.zeros_like(q[0])
+                    cs.append(c)
+                return cs
+
+            ci = center(bi, q)
+            cj = center(bj, q)
+            pen = [np.float32(bi.half[ax] + bj.half[ax])
+                   - jnp.abs(ci[ax] - cj[ax]) for ax in range(2)]
+            overlapping = (pen[0] > 0) & (pen[1] > 0)
+            use_x = pen[0] <= pen[1]
+            for axis in range(2):
+                sel = overlapping & (use_x if axis == 0 else ~use_x)
+                d = jnp.where(pen[axis] > 0, pen[axis], 0.0)
+                sgn = jnp.sign(cj[axis] - ci[axis])
+                sgn = jnp.where(sgn == 0, np.float32(1.0), sgn)
+                mi = 1.0 if bi.qpos_idx[axis] >= 0 else 0.0
+                mj = 1.0 if bj.qpos_idx[axis] >= 0 else 0.0
+                tot = mi + mj
+                if tot == 0:
+                    continue
+                if bi.qpos_idx[axis] >= 0 and mi > 0:
+                    newc = jnp.clip(
+                        ci[axis] - jnp.where(sel, d * np.float32(mi / tot),
+                                             0.0) * sgn,
+                        np.float32(bi.xy_lo[axis]), np.float32(bi.xy_hi[axis]))
+                    q[bi.qpos_idx[axis]] = newc - np.float32(bi.body_pos[axis])
+                if bj.qpos_idx[axis] >= 0 and mj > 0:
+                    newc = jnp.clip(
+                        cj[axis] + jnp.where(sel, d * np.float32(mj / tot),
+                                             0.0) * sgn,
+                        np.float32(bj.xy_lo[axis]), np.float32(bj.xy_hi[axis]))
+                    q[bj.qpos_idx[axis]] = newc - np.float32(bj.body_pos[axis])
     return tuple(q)
 
 

@@ -103,6 +103,51 @@ def test_swimmer_object_world_step_kernel(env_id):
         state = res.state
 
 
+def test_block_block_separation_matches_kernel():
+    """MultiPush worlds: overlapping movable blocks separate along the
+    least-penetration axis (quasi-static analog of the f64 path's
+    block-block rows), identically on the XLA path and the kernel."""
+    from mujoco_maze_tpu.ops import point_pallas as pp
+
+    B = 8
+    env = mmt.make_batched("PointMultiPushSmall-v0", num_envs=B,
+                           auto_reset=False)
+    spec = env.spec
+    step_k = pp.build_step_kernel(pp.spec_from_env(spec), B, tile=B)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    qp = np.array(np.asarray(state.qpos))
+    b0, b1 = spec.block_runtimes[0], spec.block_runtimes[1]
+    c0 = np.asarray(b0.body_pos)[:2]
+    c1 = np.asarray(b1.body_pos)[:2]
+    ax = int(np.argmax(np.abs(c1 - c0)))
+    want = c1.copy()
+    want[ax] -= np.sign(c1[ax] - c0[ax]) * (
+        float(b0.half[ax]) + float(b1.half[ax]) - 0.3)
+    want[1 - ax] = c1[1 - ax] + 0.5
+    for k in range(2):
+        if b0.qpos_idx[k] >= 0:
+            qp[:, b0.qpos_idx[k]] = want[k] - c0[k]
+    state = state._replace(qpos=jnp.asarray(qp))
+    res = env.step(state, jnp.zeros((B, 2), jnp.float32))
+    qpk, *_ = step_k(state.qpos, state.qvel, state.t,
+                     jnp.zeros((B, 2), jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(qpk), np.asarray(res.state.qpos), atol=1e-5)
+
+    def pen_min(q):
+        cs = []
+        for b in (b0, b1):
+            c = np.asarray(b.body_pos)[:2].copy()
+            for k in range(2):
+                if b.qpos_idx[k] >= 0:
+                    c[k] += q[b.qpos_idx[k]]
+            cs.append(c)
+        return min(float(b0.half[k] + b1.half[k]) - abs(cs[0][k] - cs[1][k])
+                   for k in range(2))
+
+    assert pen_min(np.asarray(res.state.qpos)[0]) < pen_min(qp[0]) - 0.1
+
+
 def test_make_fast_rollout_dispatch():
     """ops.make_fast_rollout: per-robot kernel dispatch.  Every registered
     robot/world family builds a fused kernel since round 2 (plain mazes,
