@@ -137,6 +137,39 @@ def main() -> None:
         fenv = mmt.make_batched(
             "PointUMaze-v0", num_envs=NUM_ENVS, fast_step=True)
         detail["PointUMaze-v0/step_api"] = _bench_xla(fenv, state, key_base=11)
+    # batch-axis headroom: the same kernel at 64K envs (the 4096-env
+    # headline is the BASELINE benchmark point, not the chip's ceiling)
+    if jax.default_backend() == "tpu" and _budget_left() > 90:
+        _progress("PointUMaze pallas rollout kernel @65536 envs")
+        try:
+            import jax.numpy as jnp
+
+            from mujoco_maze_tpu.ops import point_pallas as pp
+
+            B64 = 65536
+            env64 = mmt.make_batched(
+                "PointUMaze-v0", num_envs=B64, fast_step=False)
+            st64, _ = env64.reset(jax.random.PRNGKey(0))
+            roll = pp.build_rollout_kernel(
+                pp.spec_from_env(env64.spec), B64, STEPS, tile=2048)
+            carry = [roll(st64.qpos, st64.qvel, st64.t,
+                          jnp.asarray(7, jnp.int32))]
+            jax.block_until_ready(carry[0][0])
+
+            def run64(rep):
+                qp, qv, t, _, _ = carry[0]
+                carry[0] = roll(qp, qv, t, jnp.asarray(rep, jnp.int32))
+                return carry[0]
+
+            rates = _time_reps(
+                run64, lambda o: jax.block_until_ready(o[0]), reps=3)
+            detail["PointUMaze-v0/pallas_64k"] = [
+                r * B64 * STEPS for r in rates]
+        except Exception as e:
+            detail["PointUMaze-v0/pallas_64k_error"] = repr(e)[:200]
+    elif jax.default_backend() == "tpu":
+        detail["PointUMaze-v0/pallas_64k_skipped"] = "bench budget spent"
+
     # object-world Point kernel (round 2: all 145 env IDs build kernels)
     if _budget_left() > 120:
         _progress("PointBilliard pallas rollout kernel (object world)")

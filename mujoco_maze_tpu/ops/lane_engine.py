@@ -13,8 +13,8 @@ tree plus free world bodies).
 It backs the generic fused kernel (:mod:`.engine_pallas`) — the fast path
 for *custom* robots composed through the extension API, which the
 hand-written kernels don't know about.  Differentially validated against
-the vmapped engine in tests/test_lane_engine.py (swimmer incl. fluid,
-reacher, ant incl. contacts).
+the vmapped engine in tests/test_engine_pallas.py (swimmer incl. fluid,
+ant incl. contacts, block and free-ball worlds).
 
 Conventions identical to physics/engine.py (MuJoCo parity): spatial motion
 vectors [ω; v] at the world origin; free-joint qvel is (linear world,
@@ -33,7 +33,6 @@ from .ant_math import (
     Mat3,
     Vec3,
     _motion_cross,
-    _sphere_aabb_nearest2,
     _zero3,
     axis_angle_mat3,
     quat_to_mat3,
@@ -41,7 +40,6 @@ from .ant_math import (
 from .swimmer_math import _chol5_solve as chol_solve  # generic n×n unrolled
 
 _NVJ = {FREE: 6, BALL: 3, SLIDE: 1, HINGE: 1}
-_NQJ = {FREE: 7, BALL: 4, SLIDE: 1, HINGE: 1}
 
 
 class LaneWorld(NamedTuple):
@@ -170,23 +168,6 @@ def _trees(model) -> List[List[int]]:
             dofs.extend(range(va, va + _NVJ[int(model.jnt_type[j])]))
     return [sorted(d) for d in trees.values() if d]
 
-
-def _qadr_of_dof(model) -> Dict[int, int]:
-    """dof index -> qpos index (identity except around quaternions)."""
-    out = {}
-    for j in range(model.njnt):
-        jt = int(model.jnt_type[j])
-        qa = int(model.jnt_qposadr[j])
-        va = int(model.jnt_dofadr[j])
-        if jt == FREE:
-            for k in range(3):
-                out[va + k] = qa + k
-            # angular dofs have no scalar qpos slot (quat); unused
-        elif jt == BALL:
-            pass
-        else:
-            out[va] = qa
-    return out
 
 
 def _cvec(x, like) -> Vec3:
@@ -318,10 +299,6 @@ def mass_blocks(model: RigidModel, fk: LaneFK, chain: Dict[int, List[int]],
     """Per-tree dense mass matrix (list-of-lists of lanes, +armature)."""
     nv = model.nv
     M = [[None] * nv for _ in range(nv)]
-    tree_of = {}
-    for t, dofs in enumerate(trees):
-        for d in dofs:
-            tree_of[d] = t
     for t, dofs in enumerate(trees):
         for d1 in dofs:
             for d2 in dofs:

@@ -29,8 +29,6 @@ import numpy as np
 
 from .lane_env import LaneEnvKernel, goal_heads, uniform
 
-LANE = 128
-
 
 class BallLanes(NamedTuple):
     """One hinge-type object ball in the kernel (envs/env.py _BallRuntime)."""

@@ -770,7 +770,6 @@ def contact_qfrc_b(model, cs, kd: KinDynB, qvel, qacc0, Minv, chain_mask,
     ], axis=1)                                           # (3C, nv, B)
     A_diag = sum(JMinv[:, u, :] * J[:, u, :] for u in range(nv))
     imp3 = jnp.concatenate([imp, imp, imp])
-    active3 = jnp.concatenate([active, active, active])
     Rreg = (1.0 - imp3) / jnp.maximum(imp3, 1e-6) * A_diag
     denom = A_diag + Rreg + 1e-9
     mu_b = mu
@@ -905,8 +904,6 @@ def build_dynamics_step(spec):
     (qpos', qvel')`` running frame_skip × RK4 with contacts in the
     batch-last layout.  Drop-in equal (to float tolerance) to
     ``vmap(robot.dynamics_step)`` — tests/test_engine_batched.py."""
-    from . import contact as contact_mod  # noqa: F401  (solver iters const)
-
     model = spec.dynamic_model
     cset = spec.contact_set
     _, chain_mask, _, _ = _eng.get_masks(model)
