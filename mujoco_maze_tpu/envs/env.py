@@ -964,7 +964,14 @@ class MazeEnvSpec:
                     )
                 )
         new_xy = qpos[:2]
-        # robot wall resolution (maze_env.py:457-464)
+        # robot wall resolution (maze_env.py:457-464).  Ordering note
+        # (deliberate divergence from maze_env.py:457-473's robot-first
+        # sequence): objects above were stepped from the robot's PRE-
+        # resolution position because that is what the reference's mj_step
+        # saw — the engine moves balls/blocks during the inner step, which
+        # runs before the manual robot resolution; the manual BALL wall
+        # resolution is self-contained either way (ball state never reads
+        # the robot's resolved position).
         resolved = segments.resolve(self.walls, old_xy, new_xy, self.restitution_coef)
         qpos = qpos.at[:2].set(resolved)
         new_state = EnvState(

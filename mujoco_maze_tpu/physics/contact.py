@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import engine as _engine
 from .model import (
     GEOM_BOX,
     GEOM_CAPSULE,
@@ -280,6 +281,7 @@ def _min_exit_normal(local, bh, dtype):
     return n_in, -m
 
 
+@_engine.highest_matmul
 def contact_qfrc(
     model: RigidModel,
     cs: ContactSet,

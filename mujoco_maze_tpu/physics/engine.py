@@ -15,6 +15,7 @@ the swimmer/reacher/ant models matches mj_forward to ~1e-5.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, NamedTuple, Tuple
 
 import jax
@@ -30,6 +31,24 @@ from .math3d import (
     skew,
 )
 from .model import BALL, FREE, HINGE, SLIDE, RigidModel
+
+
+def highest_matmul(fn):
+    """Force float32 matmul precision inside ``fn``.
+
+    TPU MXU matmuls default to bf16 multiplies; the CRB/RNE einsums cancel
+    O(anchor^2) ~ 20-magnitude terms down to tiny mass-matrix entries, and
+    the bf16 error (~0.05 absolute here) can flip a falling block's 0.001
+    diagonal NEGATIVE, exploding the Cholesky into NaN (observed on AntFall
+    at torso z ≈ 4.76; tests/test_ant_world.py::test_fall_engine_finite).
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 class FkResult(NamedTuple):
@@ -285,6 +304,7 @@ def get_masks(model: RigidModel):
     return model._masks
 
 
+@highest_matmul
 def crb_mass_matrix(model: RigidModel, kd: KinDyn) -> jnp.ndarray:
     """Composite-rigid-body mass matrix in joint space (+armature).
 
@@ -306,6 +326,7 @@ def crb_mass_matrix(model: RigidModel, kd: KinDyn) -> jnp.ndarray:
     return M
 
 
+@highest_matmul
 def rne_bias(model: RigidModel, kd: KinDyn, qvel: jnp.ndarray) -> jnp.ndarray:
     """qfrc_bias: C(q, v)·v + gravity, via world-frame RNE with qacc = 0.
 
@@ -342,6 +363,7 @@ def rne_bias(model: RigidModel, kd: KinDyn, qvel: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("dz,dz->d", kd.cdof, fsub_per_dof)
 
 
+@highest_matmul
 def fluid_force(model: RigidModel, kd: KinDyn, qvel: jnp.ndarray) -> jnp.ndarray:
     """MuJoCo inertia-box fluid model: viscous + quadratic density drag.
 
@@ -475,6 +497,7 @@ def actuator_force(model: RigidModel, ctrl: jnp.ndarray) -> jnp.ndarray:
     return qfrc
 
 
+@highest_matmul
 def forward(
     model: RigidModel,
     qpos: jnp.ndarray,

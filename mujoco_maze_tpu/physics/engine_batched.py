@@ -510,6 +510,7 @@ def actuator_force_b(model, ctrl):
 # ---------------------------------------------------------------------------
 
 
+@_eng.highest_matmul
 def contact_qfrc_b(model, cs, kd: KinDynB, qvel, qacc0, Minv, chain_mask,
                    solver_iters: Optional[int] = None):
     from . import contact as _cm
@@ -810,6 +811,7 @@ def contact_qfrc_b(model, cs, kd: KinDynB, qvel, qacc0, Minv, chain_mask,
 # ---------------------------------------------------------------------------
 
 
+@_eng.highest_matmul
 def forward_b(model, qpos, qvel, ctrl, extra_qfrc=None):
     """qacc (nv, B) = M⁻¹ (τ - bias + passive + constraints)."""
     kd = kin_dyn_b(model, qpos, qvel)

@@ -86,3 +86,26 @@ def test_ant_push_world_matches_structure():
     # block joint limits: mujoco has the +-scaling slide range only for
     # falling blocks; ours encode wall travel — compare initial qpos instead
     np.testing.assert_allclose(m.qpos0, spec.init_qpos, atol=1e-10)
+
+
+def test_fall_engine_step_finite():
+    """Regression (TPU): the falling block's 0.001-mass diagonal must
+    survive the CRB einsums.  TPU MXU matmuls default to bf16 multiplies;
+    before engine.highest_matmul forced float32 precision, the bf16
+    cancellation error (~0.05 absolute at AntFall's elevated anchors)
+    flipped that diagonal negative and the Cholesky exploded to NaN for a
+    few percent of reset states (CPU matmuls are exact-f32, so this only
+    bites on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    import mujoco_maze_tpu as mmt
+
+    env = mmt.make_batched("AntFall-v0", num_envs=64, auto_reset=False,
+                           fast_step=False, engine_batched=False)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    for _ in range(2):
+        res = env.step(state, jnp.zeros((64, 8), jnp.float32))
+        assert bool(jnp.isfinite(res.state.qpos).all())
+        assert bool(jnp.isfinite(res.state.qvel).all())
+        state = res.state
