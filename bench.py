@@ -23,8 +23,26 @@ every rep for every measured config/path so run-to-run variance is visible
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# Persistent XLA compilation cache: the Ant contact kernels cost ~3 min of
+# XLA/Mosaic compile per fresh process over the axon tunnel, which round 2
+# showed eats the wall-clock budget before the later stages run.  Verified
+# on this box: the axon backend serves cross-process cache hits (a warmed
+# kernel loads in <1 s), so a primed repo-local cache lets every stage fit.
+# NB: must go through jax.config.update — the axon site hook pre-imports
+# jax at interpreter start, so setting JAX_* env vars here is too late.
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
+def _enable_compile_cache() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _progress(msg: str) -> None:
@@ -119,6 +137,8 @@ def main() -> None:
     import jax
 
     import mujoco_maze_tpu as mmt
+
+    _enable_compile_cache()
 
     env = mmt.make_batched("PointUMaze-v0", num_envs=NUM_ENVS, fast_step=False)
     state, _ = env.reset(jax.random.PRNGKey(0))

@@ -648,6 +648,57 @@ class MazeEnvSpec:
                 qpos = qpos.at[bj.qpos_idx[axis]].set(newc - bj.body_pos[axis])
         return qpos
 
+    def _spin_blocks(
+        self,
+        qpos: jnp.ndarray,
+        qvel: jnp.ndarray,
+        robot_xy: jnp.ndarray,
+        old_xy: jnp.ndarray,
+        dt: float,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """SPIN cells (``PUT_SPIN_NEAR_AGENT``): rotor driven by rolling
+        contact with the robot disc.
+
+        The reference synthesizes the spin block as a thin near-massless box
+        on an undamped free ball joint (maze_env.py:576-578,602,649-660); we
+        model the documented z-hinge reduction (``_build_world_layout``).
+        With friction 1.0 and block mass ~2e-4 the contact is the no-slip
+        massless limit: while touching, the block's surface velocity at the
+        contact point matches the robot's, i.e. ω := (r × v_robot)_z / |r|²
+        about the hinge; off contact ω persists (zero damping); θ integrates
+        every step.  The robot is not pushed back (the block yields first at
+        this mass ratio).
+        """
+        r = self.robot.RADIUS if self.robot.RADIUS is not None else 0.5
+        vel = (robot_xy - old_xy) / dt
+        for b in self.block_runtimes:
+            if not b.spin:
+                continue
+            idx = b.qpos_idx[3]
+            th = qpos[idx]
+            om = qvel[idx]
+            a = b.half[0]
+            c = b.body_pos[:2]
+            ct, st = jnp.cos(th), jnp.sin(th)
+            rel = robot_xy - c
+            # robot center in the (rotated) block frame
+            px = ct * rel[0] + st * rel[1]
+            py = -st * rel[0] + ct * rel[1]
+            cx = jnp.clip(px, -a, a)
+            cy = jnp.clip(py, -a, a)
+            dx, dy = px - cx, py - cy
+            touching = dx * dx + dy * dy < r * r  # includes center-inside
+            # lever arm hinge → contact point, world frame
+            lx = ct * cx - st * cy
+            ly = st * cx + ct * cy
+            lev2 = lx * lx + ly * ly + jnp.asarray(1e-9, self.dtype)
+            om_match = (lx * vel[1] - ly * vel[0]) / lev2
+            om = jnp.where(touching, om_match, om).astype(self.dtype)
+            th = th + om * dt
+            qpos = qpos.at[idx].set(th)
+            qvel = qvel.at[idx].set(om)
+        return qpos, qvel
+
     def _step_balls(
         self,
         qpos: jnp.ndarray,
@@ -963,6 +1014,8 @@ class MazeEnvSpec:
                         robot.SPIN_INERTIA_PRIME, old=old_xy,
                     )
                 )
+        if any(b.spin for b in self.block_runtimes):
+            qpos, qvel = self._spin_blocks(qpos, qvel, qpos[:2], old_xy, dt)
         new_xy = qpos[:2]
         # robot wall resolution (maze_env.py:457-464).  Ordering note
         # (deliberate divergence from maze_env.py:457-473's robot-first

@@ -102,6 +102,10 @@ def spec_from_env(spec) -> PointKernelSpec:
         )
         for ob in spec.ball_runtimes
     )
+    # SPIN rotors (PUT_SPIN_NEAR_AGENT, no stock task) are not lowered —
+    # the AssertionError routes make_fast_* to the XLA path, which has the
+    # rolling-contact model (envs/env.py _spin_blocks)
+    assert not any(b.spin for b in spec.block_runtimes), "spin world"
     blocks = tuple(
         BlockLanes(
             body_pos=tuple(float(x) for x in np.asarray(b.body_pos)),

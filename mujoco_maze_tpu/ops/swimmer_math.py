@@ -58,8 +58,15 @@ def spec_from_model(model) -> SwimmerKernelSpec:
 
 
 def _chol5_solve(A, b):
-    """Solve the symmetric 5x5 (list-of-lists of lane vectors) system."""
-    n = len(b)
+    """Solve the symmetric n×n (list-of-lists of lane vectors) system;
+    returns (x, L) so callers can reuse the factor via _chol_resolve."""
+    L = _chol_factor(A)
+    return _chol_resolve(L, b), L
+
+
+def _chol_factor(A):
+    """Cholesky factor L of a symmetric list-of-lists lane matrix."""
+    n = len(A)
     L = [[None] * n for _ in range(n)]
     for j in range(n):
         s = A[j][j]
@@ -71,21 +78,58 @@ def _chol5_solve(A, b):
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             L[i][j] = s / L[j][j]
-    # forward
+    return L
+
+
+def _chol_resolve(L, b):
+    """Solve with an existing Cholesky factor (skips the O(n³/3)
+    refactorization of :func:`_chol5_solve` when A is unchanged)."""
+    n = len(b)
     y = [None] * n
     for i in range(n):
         s = b[i]
         for k in range(i):
             s = s - L[i][k] * y[k]
         y[i] = s / L[i][i]
-    # backward
     x = [None] * n
     for i in reversed(range(n)):
         s = y[i]
         for k in range(i + 1, n):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
-    return x, L
+    return x
+
+
+def _chol_inv_columns(L):
+    """All columns of A⁻¹ from the Cholesky factor, exploiting the unit
+    right-hand sides symbolically: the forward substitution for e_d starts
+    at row d (rows above are structurally zero), so column d costs
+    (n−d)²/2 + n²/2 madds instead of a full refactor+solve.  Returns
+    cols[d] = A⁻¹[:, d] as a list of lane scalars."""
+    n = len(L)
+    cols = []
+    for d in range(n):
+        y = [None] * n  # None ≡ structurally zero
+        y[d] = 1.0 / L[d][d]
+        for i in range(d + 1, n):
+            s = None
+            for k in range(d, i):
+                if y[k] is None:
+                    continue
+                t = L[i][k] * y[k]
+                s = t if s is None else s + t
+            y[i] = (-s / L[i][i]) if s is not None else None
+        x = [None] * n
+        for i in reversed(range(n)):
+            s = y[i]
+            for k in range(i + 1, n):
+                if x[k] is None:
+                    continue
+                t = L[k][i] * x[k]
+                s = (-t) if s is None else s - t
+            x[i] = None if s is None else s / L[i][i]
+        cols.append(x)
+    return cols
 
 
 def forward_swimmer(ks: SwimmerKernelSpec, q, v, ctrl):
@@ -248,11 +292,18 @@ def forward_swimmer(ks: SwimmerKernelSpec, q, v, ctrl):
     f_lim = [jnp.zeros_like(x) for _ in range(n)]
     limited = [3] if ks.n_act == 1 else [3, 4]
     if limited:
-        # solve for the needed columns of M⁻¹ diag
+        # diag(M⁻¹)_dd = ||L⁻¹ e_d||², reusing L from the qacc0 solve (the
+        # forward substitution starts at row d — rows above are zero)
         for dof in limited:
-            e = [jnp.full_like(x, 1.0 if i == dof else 0.0) for i in range(n)]
-            col, _ = _chol5_solve(M, e)
-            minv_dd = col[dof]
+            y = [None] * n
+            y[dof] = 1.0 / L[dof][dof]
+            for i in range(dof + 1, n):
+                s = None
+                for k in range(dof, i):
+                    t = L[i][k] * y[k]
+                    s = t if s is None else s + t
+                y[i] = -s / L[i][i]
+            minv_dd = sum(yi * yi for yi in y if yi is not None)
             qv_d = (vp2, vp3)[dof - 3]
             qq_d = (p2, p3)[dof - 3]
             a0 = qacc0[dof]

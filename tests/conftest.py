@@ -20,3 +20,17 @@ if os.environ.get("MMT_TEST_TPU", "") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache (same mechanism as bench.py): engine
+# compiles dominate the suite's wall clock, and cached executables load
+# cross-process, so re-runs get dramatically cheaper.  Must go through
+# jax.config.update — the axon site hook pre-imports jax at interpreter
+# start, so JAX_* env vars set here are too late.
+import jax  # noqa: E402  (after the platform guard above)
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
