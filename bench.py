@@ -74,11 +74,23 @@ def _time_reps(fn, sync, reps=REPS):
     return rates
 
 
-def _bench_xla(env, state, key_base: int, steps: int = STEPS) -> list:
+def _bench_xla(env, state, key_base: int, steps: int = STEPS,
+               cache_key: str | None = None) -> list:
     import jax
 
     policy = env.random_policy()
-    roll = jax.jit(lambda s, k: env.rollout_metrics(s, policy, steps, k))
+
+    def build():
+        return jax.jit(lambda s, k: env.rollout_metrics(s, policy, steps, k))
+
+    if cache_key is not None:
+        from mujoco_maze_tpu.utils import kernel_cache as kc
+
+        roll = (kc.cached_kernel(cache_key, build,
+                                 (state, jax.random.PRNGKey(key_base)))
+                if kc.enabled() else build())
+    else:
+        roll = build()
     out = [roll(state, jax.random.PRNGKey(key_base))]
     jax.block_until_ready(out[0][0].qpos)
 
@@ -90,14 +102,13 @@ def _bench_xla(env, state, key_base: int, steps: int = STEPS) -> list:
     return [r * NUM_ENVS * steps for r in rates]
 
 
-def _bench_pallas_point(spec, state) -> list:
+def _bench_pallas_point(env, state) -> list:
     import jax
     import jax.numpy as jnp
 
-    from mujoco_maze_tpu.ops import point_pallas as pp
+    from mujoco_maze_tpu import ops
 
-    ks = pp.spec_from_env(spec)
-    roll = pp.build_rollout_kernel(ks, NUM_ENVS, STEPS)
+    roll = ops.make_fast_rollout(env, STEPS)  # artifact-cached on TPU
     carry = [roll(state.qpos, state.qvel, state.t, jnp.asarray(7, jnp.int32))]
     jax.block_until_ready(carry[0][0])
 
@@ -115,11 +126,10 @@ def _bench_pallas_ant(env_id: str) -> list:
     import jax.numpy as jnp
 
     import mujoco_maze_tpu as mmt
-    from mujoco_maze_tpu.ops import ant_pallas as ap
+    from mujoco_maze_tpu import ops
 
     env = mmt.make_batched(env_id, num_envs=NUM_ENVS)
-    es = ap.spec_from_env(env.spec)
-    roll = ap.build_rollout_kernel(es, NUM_ENVS, ANT_STEPS)
+    roll = ops.make_fast_rollout(env, ANT_STEPS)  # artifact-cached on TPU
     state, _ = env.reset(jax.random.PRNGKey(0))
     carry = [roll(state.qpos, state.qvel, state.t, jnp.asarray(7, jnp.int32))]
     jax.block_until_ready(carry[0][0])
@@ -146,7 +156,7 @@ def main() -> None:
     detail = {}
     _progress("PointUMaze pallas rollout kernel")
     try:
-        detail["PointUMaze-v0/pallas"] = _bench_pallas_point(env.spec, state)
+        detail["PointUMaze-v0/pallas"] = _bench_pallas_point(env, state)
     except Exception as e:  # no TPU / kernel unavailable
         detail["PointUMaze-v0/pallas_error"] = repr(e)[:200]
     _progress("PointUMaze XLA scan path")
@@ -156,7 +166,9 @@ def main() -> None:
         _progress("PointUMaze public step API (pallas step in scan)")
         fenv = mmt.make_batched(
             "PointUMaze-v0", num_envs=NUM_ENVS, fast_step=True)
-        detail["PointUMaze-v0/step_api"] = _bench_xla(fenv, state, key_base=11)
+        detail["PointUMaze-v0/step_api"] = _bench_xla(
+            fenv, state, key_base=11,
+            cache_key=f"bench_step_api-PointUMaze-v0-B{NUM_ENVS}-S{STEPS}")
     # batch-axis headroom: the same kernel at 64K envs (the 4096-env
     # headline is the BASELINE benchmark point, not the chip's ceiling)
     if jax.default_backend() == "tpu" and _budget_left() > 90:
@@ -164,14 +176,13 @@ def main() -> None:
         try:
             import jax.numpy as jnp
 
-            from mujoco_maze_tpu.ops import point_pallas as pp
+            from mujoco_maze_tpu import ops
 
             B64 = 65536
             env64 = mmt.make_batched(
                 "PointUMaze-v0", num_envs=B64, fast_step=False)
             st64, _ = env64.reset(jax.random.PRNGKey(0))
-            roll = pp.build_rollout_kernel(
-                pp.spec_from_env(env64.spec), B64, STEPS, tile=2048)
+            roll = ops.make_fast_rollout(env64, STEPS, tile=2048)
             carry = [roll(st64.qpos, st64.qvel, st64.t,
                           jnp.asarray(7, jnp.int32))]
             jax.block_until_ready(carry[0][0])
@@ -198,7 +209,7 @@ def main() -> None:
                 "PointBilliard-v0", num_envs=NUM_ENVS, fast_step=False)
             bstate, _ = benv.reset(jax.random.PRNGKey(0))
             detail["PointBilliard-v0/pallas"] = _bench_pallas_point(
-                benv.spec, bstate)
+                benv, bstate)
         except Exception as e:
             detail["PointBilliard-v0/pallas_error"] = repr(e)[:200]
     else:
@@ -219,7 +230,9 @@ def main() -> None:
                     env_id, num_envs=NUM_ENVS, fast_step=True)
                 astate, _ = aenv.reset(jax.random.PRNGKey(0))
                 detail[f"{env_id}/step_api"] = _bench_xla(
-                    aenv, astate, key_base=21, steps=ANT_STEPS)
+                    aenv, astate, key_base=21, steps=ANT_STEPS,
+                    cache_key=(f"bench_step_api-{env_id}-B{NUM_ENVS}"
+                               f"-S{ANT_STEPS}"))
             except Exception as e:
                 detail[f"{env_id}/step_api_error"] = repr(e)[:200]
 
@@ -233,7 +246,9 @@ def main() -> None:
                 engine_batched=True)
             estate, _ = eenv.reset(jax.random.PRNGKey(0))
             detail["AntUMaze-v0/xla_batched"] = _bench_xla(
-                eenv, estate, key_base=31, steps=ANT_STEPS)
+                eenv, estate, key_base=31, steps=ANT_STEPS,
+                cache_key=(f"bench_xla_batched-AntUMaze-v0-B{NUM_ENVS}"
+                           f"-S{ANT_STEPS}"))
         except Exception as e:
             detail["AntUMaze-v0/xla_batched_error"] = repr(e)[:200]
 

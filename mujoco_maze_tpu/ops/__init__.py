@@ -47,9 +47,28 @@ def make_fast_rollout(env, num_steps: int, tile: int | None = None):
         ks = k.spec_from_env(spec)
     except AssertionError:
         return None  # object worlds / unsupported task heads
-    return k.build_rollout_kernel(
-        ks, env.num_envs, num_steps, **({"tile": tile} if tile else {})
+
+    def build():
+        return k.build_rollout_kernel(
+            ks, env.num_envs, num_steps, **({"tile": tile} if tile else {})
+        )
+
+    from ..utils import kernel_cache as kc
+
+    if not kc.enabled():
+        return build()
+    import jax.numpy as jnp
+
+    B = env.num_envs
+    example = (
+        jnp.zeros((B, int(spec.nq)), jnp.float32),
+        jnp.zeros((B, int(spec.nv)), jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((), jnp.int32),
     )
+    key = (f"rollout-{spec.robot.NAME}-B{B}-S{num_steps}-T{tile}-"
+           f"{kc.spec_digest(ks)}")
+    return kc.cached_kernel(key, build, example)
 
 
 def make_fast_step(env, tile: int | None = None,
@@ -86,7 +105,24 @@ def make_fast_step(env, tile: int | None = None,
         ks = k.spec_from_env(spec)
     except AssertionError:
         return None  # object worlds / unsupported task heads
-    return k.build_step_kernel(
-        ks, num_envs if num_envs is not None else env.num_envs,
-        **({"tile": tile} if tile else {})
+    B = num_envs if num_envs is not None else env.num_envs
+
+    def build():
+        return k.build_step_kernel(
+            ks, B, **({"tile": tile} if tile else {})
+        )
+
+    from ..utils import kernel_cache as kc
+
+    if not kc.enabled():
+        return build()
+    import jax.numpy as jnp
+
+    example = (
+        jnp.zeros((B, int(spec.nq)), jnp.float32),
+        jnp.zeros((B, int(spec.nv)), jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, int(spec.robot.action_dim)), jnp.float32),
     )
+    key = (f"step-{spec.robot.NAME}-B{B}-T{tile}-{kc.spec_digest(ks)}")
+    return kc.cached_kernel(key, build, example)

@@ -1,0 +1,104 @@
+"""AOT kernel-artifact cache (utils/kernel_cache.py).
+
+TPU measurements (v5e, AntUMaze rollout kernel B=4096 S=128): fresh-process
+trace+lower+compile ≈ 156 s, of which XLA compile is only ~20 s — the rest
+is Python tracing of the scalar-lane program, which JAX's persistent
+compilation cache cannot skip.  The artifact cache serializes the lowered
+module (jax.export) keyed by a package-source fingerprint; a warm process
+deserializes in ~30 ms and runs bit-identically (verified on-chip).  These
+tests cover the mechanics on CPU with plain jitted functions.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_maze_tpu.utils import kernel_cache as kc
+
+
+def test_roundtrip_and_no_rebuild(tmp_path, monkeypatch):
+    monkeypatch.setenv("MMT_KERNEL_CACHE", str(tmp_path))
+    builds = []
+
+    def build():
+        builds.append(1)
+
+        @jax.jit
+        def f(x, y):
+            return jnp.sin(x) @ y + 1.5
+
+        return f
+
+    x = jnp.ones((8, 8), jnp.float32)
+    y = jnp.full((8, 8), 0.25, jnp.float32)
+    f1 = kc.cached_kernel("toy-kernel", build, (x, y))
+    r1 = np.asarray(f1(x, y))
+    assert builds == [1]
+    assert os.listdir(tmp_path)  # artifact written
+
+    f2 = kc.cached_kernel("toy-kernel", build, (x, y))
+    r2 = np.asarray(f2(x, y))
+    assert builds == [1], "second lookup must load, not rebuild"
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_pytree_args_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("MMT_KERNEL_CACHE", str(tmp_path))
+
+    def build():
+        @jax.jit
+        def f(tree, k):
+            return {"out": tree["a"] * 2 + tree["b"], "key": k}
+
+        return f
+
+    tree = {"a": jnp.arange(4.0), "b": jnp.ones(4)}
+    k = jax.random.PRNGKey(0)
+    kc.cached_kernel("toy-tree", build, (tree, k))
+    loaded = kc.cached_kernel("toy-tree", lambda: (_ for _ in ()).throw(
+        AssertionError("must not rebuild")), (tree, k))
+    out = loaded(tree, k)
+    np.testing.assert_allclose(np.asarray(out["out"]),
+                               np.arange(4.0) * 2 + 1.0)
+
+
+def test_corrupt_artifact_falls_back(tmp_path, monkeypatch):
+    monkeypatch.setenv("MMT_KERNEL_CACHE", str(tmp_path))
+
+    def build():
+        return jax.jit(lambda x: x + 1)
+
+    x = jnp.zeros((4,), jnp.float32)
+    kc.cached_kernel("toy-corrupt", build, (x,))
+    (name,) = os.listdir(tmp_path)
+    with open(os.path.join(tmp_path, name), "wb") as f:
+        f.write(b"garbage")
+    f2 = kc.cached_kernel("toy-corrupt", build, (x,))
+    np.testing.assert_array_equal(np.asarray(f2(x)), np.ones(4))
+
+
+def test_spec_digest_distinguishes_and_is_stable():
+    a = {"walls": np.zeros((3, 2)), "scale": 4.0, "name": "UMaze"}
+    b = {"walls": np.zeros((3, 2)), "scale": 4.0, "name": "UMaze"}
+    c = {"walls": np.ones((3, 2)), "scale": 4.0, "name": "UMaze"}
+    assert kc.spec_digest(a) == kc.spec_digest(b)
+    assert kc.spec_digest(a) != kc.spec_digest(c)
+    # jax arrays hash by value like numpy
+    d = {"walls": jnp.zeros((3, 2)), "scale": 4.0, "name": "UMaze"}
+    assert kc.spec_digest(d) == kc.spec_digest(
+        {"walls": np.zeros((3, 2), np.float32), "scale": 4.0, "name": "UMaze"})
+
+
+def test_fingerprint_in_path_and_stability():
+    p1 = kc._artifact_path("k")
+    p2 = kc._artifact_path("k")
+    assert p1 == p2
+    assert kc.code_fingerprint() in p1
+
+
+def test_disabled_on_cpu():
+    # conftest forces the cpu platform; the ops dispatch therefore skips
+    # artifact caching (interpret-mode pallas kernels do not export)
+    assert not kc.enabled()
