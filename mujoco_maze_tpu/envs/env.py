@@ -55,6 +55,21 @@ class StepResult(NamedTuple):
     info: Dict[str, jnp.ndarray]
 
 
+# jax.export serializes pytree structure by registered name; without this
+# any program carrying EnvState/StepResult in its signature (the step-API
+# scan the benchmark AOT-caches) refuses to serialize (round-3 verdict:
+# the silent cause of every zero-byte bench_step_api artifact).
+try:
+    from jax import export as _jexport
+
+    _jexport.register_namedtuple_serialization(
+        EnvState, serialized_name="mujoco_maze_tpu.EnvState")
+    _jexport.register_namedtuple_serialization(
+        StepResult, serialized_name="mujoco_maze_tpu.StepResult")
+except Exception:  # older jax without the registration API
+    pass
+
+
 class _BlockRuntime(NamedTuple):
     """Static per-movable-block constants used inside the step kernel."""
 

@@ -54,10 +54,12 @@ def make_fast_rollout(env, num_steps: int, tile: int | None = None):
         )
 
     from ..utils import kernel_cache as kc
-
-    if not kc.enabled():
-        return build()
     import jax.numpy as jnp
+
+    # artifact cache is keyed on float32 example avals — a non-f32 spec
+    # would export artifacts that mismatch the real calls at load time
+    if not kc.enabled() or spec.dtype != jnp.float32:
+        return build()
 
     B = env.num_envs
     example = (
@@ -66,7 +68,7 @@ def make_fast_rollout(env, num_steps: int, tile: int | None = None):
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((), jnp.int32),
     )
-    key = (f"rollout-{spec.robot.NAME}-B{B}-S{num_steps}-T{tile}-"
+    key = (f"rollout-{spec.robot.NAME}-B{B}-S{num_steps}-T{tile}-f32-"
            f"{kc.spec_digest(ks)}")
     return kc.cached_kernel(key, build, example)
 
@@ -113,10 +115,10 @@ def make_fast_step(env, tile: int | None = None,
         )
 
     from ..utils import kernel_cache as kc
-
-    if not kc.enabled():
-        return build()
     import jax.numpy as jnp
+
+    if not kc.enabled() or spec.dtype != jnp.float32:
+        return build()
 
     example = (
         jnp.zeros((B, int(spec.nq)), jnp.float32),
@@ -124,5 +126,5 @@ def make_fast_step(env, tile: int | None = None,
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((B, int(spec.robot.action_dim)), jnp.float32),
     )
-    key = (f"step-{spec.robot.NAME}-B{B}-T{tile}-{kc.spec_digest(ks)}")
+    key = (f"step-{spec.robot.NAME}-B{B}-T{tile}-f32-{kc.spec_digest(ks)}")
     return kc.cached_kernel(key, build, example)
