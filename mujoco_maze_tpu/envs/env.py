@@ -158,6 +158,23 @@ class MazeEnvSpec:
                 ms, dtype=jnp.float64)
         else:
             self.point_block_world = None
+        # float32 production path: the reduced robot-prescribed object solve
+        # (point_world.object_forward) replaces the round-1 calibrated
+        # kick/quasi-static model — same derived impedance rows, objects
+        # integrated by RK4 within the step (no single-sample aliasing),
+        # blocks with momentum.  z/spin blocks keep the approximate path.
+        self.object_world = None
+        if (robot.MANUAL_COLLISION and self.point_world is None
+                and getattr(robot, "USES_POINT_WORLD", False)):
+            oballs = None
+            if ms.object_balls and robot.OBJBALL_TYPE == "hinge":
+                oballs = point_world.ball_world_from_structure(ms, dtype=dtype)
+            oblocks = point_world.block_world_from_structure(ms, dtype=dtype)
+            if oballs is not None or oblocks is not None:
+                owp = point_world.params_for_world(
+                    any_blocks=bool(ms.movable_blocks), dt=robot.timestep)
+                owb = point_world.wall_boxes_from_structure(ms, dtype=dtype)
+                self.object_world = (owp, owb, oballs, oblocks)
         ball_segs = ms.wall_segments(self.task.OBJECT_BALL_SIZE)
         self.objball_walls = self._to_dtype_walls(
             segments.pad_walls(ball_segs, max(len(ball_segs), 1))
@@ -533,6 +550,18 @@ class MazeEnvSpec:
     # ------------------------------------------------------------------
     # world-object helpers (traced; all loops unroll over static specs)
     # ------------------------------------------------------------------
+    def _object_dof_idx(self) -> Tuple[int, ...]:
+        """Env-layout qpos indices of the object dofs, in the reduced
+        solver's layout (balls x/y/rot first, then block x[,y])."""
+        idx: List[int] = []
+        if self.object_world is not None and self.object_world[2] is not None:
+            for ob in self.ball_runtimes:
+                idx.extend(ob.qpos_idx)  # hinge kind: (x, y, rot)
+        if self.object_world is not None and self.object_world[3] is not None:
+            for b in self.block_runtimes:
+                idx.extend(i for i in b.qpos_idx[:2] if i >= 0)
+        return tuple(idx)
+
     def _block_center(self, qpos: jnp.ndarray, b: _BlockRuntime) -> jnp.ndarray:
         """(3,) current block body origin."""
         disp = []
@@ -989,12 +1018,30 @@ class MazeEnvSpec:
             if self.block_runtimes and self.point_block_world is None:
                 qpos, qvel = self._push_blocks(qpos, qvel, qpos[:2], dt)
         else:
+            # world objects first, from the post-teleport pre-residual robot
+            # state — that is what the engine's mj_step saw (the reduced
+            # solve advances the robot kinematically through its RK4
+            # stages, physics/point_world.py object_forward).
+            if self.object_world is not None:
+                owp, owb, oballs, oblocks = self.object_world
+                oidx = jnp.asarray(self._object_dof_idx())
+                qo, vo = point_world.rk4_object_step(
+                    owp, owb, oballs, oblocks,
+                    qpos[:3], qvel[:3], qpos[oidx], qvel[oidx],
+                    floor_always=True)
+                qpos = qpos.at[oidx].set(qo.astype(self.dtype))
+                qvel = qvel.at[oidx].set(vo.astype(self.dtype))
             # fast path: closed-form smooth residual + derived impedance maps
             qpos, qvel = robot.residual_step(qpos, qvel)
-            # world objects: blocks pushed at the robot's post-move position
-            if self.block_runtimes:
+            # z/spin blocks (excluded from the reduced solve) keep the
+            # quasi-static push at the robot's post-move position
+            if self.block_runtimes and (
+                    self.object_world is None
+                    or self.object_world[3] is None):
                 qpos, qvel = self._push_blocks(qpos, qvel, qpos[:2], dt)
-            if self.ball_runtimes:
+            if self.ball_runtimes and (
+                    self.object_world is None
+                    or self.object_world[2] is None):
                 qpos, qvel = self._step_balls(
                     qpos, qvel, qpos[:2], qpos[:2] - old_xy, dt
                 )

@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from . import object_lanes
 from .lane_env import LaneEnvKernel, goal_heads, uniform
 
 
@@ -88,6 +89,11 @@ class PointKernelSpec(NamedTuple):
     ball_decay: float = 0.0        # MazeEnvSpec.BALL_ROLL_DECAY
     robot_geom_r: float = 0.5      # body sphere radius (point.xml:22)
     n_world: int = 0               # world dof lane count after the robot 3
+    # reduced impedance object solve (ops/object_lanes): replaces the
+    # round-1 kick/quasi-static model for XY-block and hinge-ball worlds;
+    # z/spin-block worlds keep the approximate lanes path (None here)
+    object_spec: tuple = None          # ObjectLanesSpec
+    object_dof_idx: tuple = ()         # absolute lane indices, solver order
 
 
 def spec_from_env(spec) -> PointKernelSpec:
@@ -151,6 +157,8 @@ def spec_from_env(spec) -> PointKernelSpec:
         ball_kick=float(spec.BALL_KICK_GAIN),
         ball_decay=float(spec.BALL_ROLL_DECAY),
         n_world=int(spec.nq - 3),
+        object_spec=object_lanes.spec_from_env(spec),
+        object_dof_idx=tuple(spec._object_dof_idx()),
     )
 
 
@@ -399,6 +407,23 @@ def _step_math(ks: PointKernelSpec, q, v, t, ax, ar):
     vy = jnp.clip(vy, -10.0, 10.0)
     vr = jnp.clip(vr, -10.0, 10.0)
     v_world = tuple(jnp.clip(vw, -10.0, 10.0) for vw in v[3:])
+    q_world_pre = q[3:]
+    # reduced impedance object solve, from the post-teleport pre-residual
+    # robot state (mirror of envs/env.py _step_manual: the engine's
+    # mj_step ran from exactly this state; the RK4 sweep inside kills the
+    # one-contact-sample-per-teleport aliasing)
+    if ks.object_spec is not None and ks.object_dof_idx:
+        q_full = [x, y, ori] + list(q_world_pre)
+        v_full = [vx, vy, vr] + list(v_world)
+        oq = tuple(q_full[i] for i in ks.object_dof_idx)
+        ov = tuple(v_full[i] for i in ks.object_dof_idx)
+        oq, ov = object_lanes.object_step_lanes(
+            ks.object_spec, (x, y, ori), (vx, vy, vr), oq, ov)
+        for slot, i in enumerate(ks.object_dof_idx):
+            q_full[i] = oq[slot]
+            v_full[i] = ov[slot]
+        q_world_pre = tuple(q_full[3:])
+        v_world = tuple(v_full[3:])
     # mj residual: drift + centrifugal slide coupling from the hinge spin
     # (models/point.py residual_step — closed-form, no calibration)
     r_com = np.float32(ks.com_offset)
@@ -413,10 +438,10 @@ def _step_math(ks: PointKernelSpec, q, v, t, ax, ar):
     vx = vx + dvx
     vy = vy + dvy
 
-    # world objects at the robot's post-move position (env.py order:
-    # blocks then balls, both before the wall-contact ejection)
-    q_world = q[3:]
-    if ks.blocks or ks.balls:
+    # z/spin-block worlds (no reduced solve): quasi-static block push /
+    # kick-ball model at the robot's post-move position (env.py order)
+    q_world = q_world_pre
+    if (ks.blocks or ks.balls) and ks.object_spec is None:
         q_full = (x, y, ori2) + q_world
         v_full = (vx, vy, vr) + v_world
         if ks.blocks:

@@ -557,8 +557,15 @@ def _qacc_smooth(p: PointWorldParams, th, w, minv):
     return minv @ bias
 
 
-def _solve_newton(p: PointWorldParams, M, a0, J, aref, rinv):
-    """Primal Newton on the convex piecewise-quadratic MuJoCo cost."""
+def _solve_newton(p: PointWorldParams, M, a0, J, aref, rinv,
+                  precondition: bool = False):
+    """Primal Newton on the convex piecewise-quadratic MuJoCo cost.
+
+    ``precondition`` enables Jacobi (diagonal) scaling of the Newton
+    system — needed by the float32 object solve, whose H mixes the
+    near-massless object inertia (~1e-4) with contact penalty terms
+    (~1e2+); the float64 exact path keeps the raw solve for bit-parity.
+    """
 
     def cost_grad_hess(x):
         jar = J @ x - aref
@@ -578,7 +585,12 @@ def _solve_newton(p: PointWorldParams, M, a0, J, aref, rinv):
     x = a0
     for _ in range(p.newton_iters):
         grad, H = cost_grad_hess(x)
-        pdir = -jnp.linalg.solve(H, grad)
+        if precondition:
+            s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-20))
+            Hs = H * s[:, None] * s[None, :]
+            pdir = -s * jnp.linalg.solve(Hs, s * grad)
+        else:
+            pdir = -jnp.linalg.solve(H, grad)
         # exact-ish line search: bisection on the monotone derivative
         lo = jnp.zeros((), x.dtype)
         hi = jnp.full((), 2.0, x.dtype)
@@ -1102,6 +1114,281 @@ def _sphere_vs_boxes_r(boxes: WallBoxes, xy, radius, z_c):
     active = (pen > 0.0) & (boxes.mask > 0.0)
     return _BallCon(pos=pos, n=n3[:, :2], nz=n3[:, 2], pen=pen,
                     active=active, zmult=jnp.ones_like(pen))
+
+
+def object_forward(p: PointWorldParams, boxes: WallBoxes, balls, blocks,
+                   rq3, rv3, q, v, floor_always: bool = False):
+    """qacc of the object dofs with the ROBOT PRESCRIBED (kinematic).
+
+    The float32 production path's object model (round-4): the same contact
+    rows as :func:`forward_world` — robot-sphere/arrow vs ball/block, object
+    vs walls, floor switch, object-object pairs, identical derived
+    impedance/solref constants — but the Newton solve is restricted to the
+    object dofs.  Objects are near-massless (ball 1e-4*r^3, block 2e-4,
+    maze_env.py:509,602), so the robot's reaction is ~0 (probed: robot dv
+    < 1e-4 across the strike table, tools/probe_f32_objects.py) and the
+    reduction is behaviorally exact while staying cheap and dtype-generic.
+
+    ``rq3``/``rv3`` are the robot's (x, y, th) pose and velocity; the robot
+    columns of the pair jacobians still feed the aref damping terms (the
+    relative contact velocity), then are dropped from the decision space.
+    """
+    B = balls.nb if balls is not None else 0
+    Bk = blocks.nb if blocks is not None else 0
+    blk_base = 3 + 3 * B
+    blk_cols = []
+    off = blk_base
+    for k in range(Bk):
+        cols = {}
+        if blocks.has_x[k]:
+            cols["x"] = off
+            off += 1
+        if blocks.has_y[k]:
+            cols["y"] = off
+            off += 1
+        blk_cols.append(cols)
+    nd = off
+    nobj = nd - 3
+    dtype = q.dtype
+    th = rq3[2]
+    xy = rq3[:2]
+    # full-layout state: robot dofs prepended so every forward_world row
+    # builder applies verbatim; only the solve is restricted to [3:].
+    qf = jnp.concatenate([rq3, q])
+    vf = jnp.concatenate([rv3, v])
+
+    M = jnp.zeros((nobj, nobj), dtype)
+    for i in range(B):
+        o = 3 * i
+        M = M.at[o, o].set(balls.mass[i])
+        M = M.at[o + 1, o + 1].set(balls.mass[i])
+        M = M.at[o + 2, o + 2].set(balls.inertia[i])
+    for k in range(Bk):
+        for c in blk_cols[k].values():
+            M = M.at[c - 3, c - 3].set(blocks.mass[k])
+    a0 = jnp.zeros((nobj,), dtype)
+
+    invw_r = p.invw_t
+    rows = []
+    pad = lambda j3: jnp.pad(j3, ((0, 0), (0, nd - 3)))
+    bb_dmin, bb_dmax, bb_width = 0.9, 0.99, 0.001
+
+    for i in range(B):
+        o = 3 + 3 * i
+        invw_b = 2.0 / (3.0 * balls.mass[i])
+        ctr = balls.body_pos[i] + jnp.stack([qf[o], qf[o + 1]])
+        thb = qf[o + 2]
+        r_b = balls.r[i]
+        padb = lambda j3, o=o: jnp.zeros(
+            (j3.shape[0], nd), dtype).at[:, o:o + 3].set(j3)
+
+        bw = _sphere_vs_boxes_r(boxes, ctr, r_b, r_b)
+        bn3, bt1, bt2 = _make_frame(bw.n, bw.nz)
+        rows.append(_pyramid_rows(
+            p, padb(_body_jac3(bn3, bw.pos, ctr)),
+            padb(_body_jac3(bt1, bw.pos, ctr)),
+            padb(_body_jac3(bt2, bw.pos, ctr)),
+            bw.pen, vf, bw.active, bw.zmult,
+            p.dmin, p.dmax, p.width, invw_b, p.mu))
+
+        # MuJoCo's floor switch is an ulp-level rounding artifact of the
+        # hinge quaternion (see :func:`_floor_switch`): pseudo-randomly
+        # active for generic angles, inactive at th = 0.  It does not
+        # replicate in float32, so the production path takes the dominant
+        # branch deterministically (always active — a struck ball carries
+        # a generic angle and the probe shows ~every step active there,
+        # tools/probe_f32_objects.py); the float64 fidelity path keeps the
+        # bit-exact predicate.
+        if floor_always:
+            fact = jnp.ones((), jnp.bool_)
+            fpen = jnp.asarray(2.0 ** -54, dtype)
+        else:
+            fact, fpen = _floor_switch(thb)
+        fn3 = jnp.asarray([[0.0, 0.0, 1.0]], dtype)
+        ft1 = jnp.asarray([[0.0, 1.0, 0.0]], dtype)
+        ft2 = jnp.asarray([[-1.0, 0.0, 0.0]], dtype)
+        mkj = lambda d: padb(_body_jac3(d, ctr[None, :], ctr))
+        rows.append(_pyramid_rows(
+            p, mkj(fn3), mkj(ft1), mkj(ft2), fpen[None],
+            vf, fact[None], jnp.ones((1,), dtype),
+            p.f_dmin, p.f_dmax, p.f_width, invw_b, p.mu))
+
+        d3 = jnp.stack([ctr[0] - xy[0], ctr[1] - xy[1],
+                        r_b - p.sphere_z])
+        dist3 = jnp.sqrt(jnp.sum(d3 * d3) + 1e-30)
+        nrm = d3 / dist3
+        pen_rb = (p.sphere_r + r_b) - dist3
+        t_mid = p.sphere_r + (dist3 - p.sphere_r - r_b) * 0.5
+        pos_rb = xy + nrm[:2] * t_mid
+        rn3, rt1, rt2 = _make_frame(nrm[None, :2], nrm[None, 2])
+        jfun = lambda d: (padb(_body_jac3(d, pos_rb[None, :], ctr))
+                          - pad(_body_jac3(d, pos_rb[None, :], xy)))
+        rows.append(_pyramid_rows(
+            p, jfun(rn3), jfun(rt1), jfun(rt2), pen_rb[None], vf,
+            (pen_rb > 0.0)[None], jnp.ones((1,), dtype),
+            bb_dmin, bb_dmax, bb_width, invw_r + invw_b, p.mu))
+
+        ct, st = jnp.cos(th), jnp.sin(th)
+        u = jnp.stack([ct, st])
+        w_ax = jnp.stack([-st, ct])
+        ac = xy + u * p.arrow_off
+        rel = ctr - ac
+        bx, by = rel @ u, rel @ w_ax
+        bz = r_b - 0.5 * (p.arrow_z_lo + p.arrow_z_hi)
+        hx, hy = p.arrow_half_l, p.arrow_half_w
+        hz = 0.5 * (p.arrow_z_hi - p.arrow_z_lo)
+        cx = jnp.clip(bx, -hx, hx)
+        cy = jnp.clip(by, -hy, hy)
+        cz = jnp.clip(bz, -hz, hz)
+        ddx, ddy, ddz = bx - cx, by - cy, bz - cz
+        dd2 = ddx * ddx + ddy * ddy + ddz * ddz
+        dl = jnp.sqrt(jnp.maximum(dd2, 1e-30))
+        pen_ab = r_b - dl
+        nf = jnp.stack([ddx, ddy, ddz]) / dl
+        n_world = jnp.stack([
+            nf[0] * u[0] + nf[1] * w_ax[0],
+            nf[0] * u[1] + nf[1] * w_ax[1],
+            nf[2],
+        ])
+        t_ab = r_b + (dl - r_b) * 0.5
+        pos_ab = ctr - n_world[:2] * t_ab
+        an3, at1, at2 = _make_frame(n_world[None, :2], n_world[None, 2])
+        jfun_a = lambda d: (padb(_body_jac3(d, pos_ab[None, :], ctr))
+                            - pad(_body_jac3(d, pos_ab[None, :], xy)))
+        rows.append(_pyramid_rows(
+            p, jfun_a(an3), jfun_a(at1), jfun_a(at2), pen_ab[None], vf,
+            (pen_ab > 0.0)[None], jnp.ones((1,), dtype),
+            bb_dmin, bb_dmax, bb_width, invw_r + invw_b, p.mu))
+
+        for jprev in range(i):
+            o2 = 3 + 3 * jprev
+            ctr2 = balls.body_pos[jprev] + jnp.stack([qf[o2], qf[o2 + 1]])
+            r2 = balls.r[jprev]
+            d3b = jnp.stack([ctr[0] - ctr2[0], ctr[1] - ctr2[1], r_b - r2])
+            distb = jnp.sqrt(jnp.sum(d3b * d3b) + 1e-30)
+            nb = d3b / distb
+            pen_bb = (r_b + r2) - distb
+            pos_bb = ctr2 + nb[:2] * (r2 + (distb - r2 - r_b) * 0.5)
+            bn, bt1b, bt2b = _make_frame(nb[None, :2], nb[None, 2])
+            padb2 = lambda j3, o2=o2: jnp.zeros(
+                (j3.shape[0], nd), dtype).at[:, o2:o2 + 3].set(j3)
+            jf = lambda d: (padb(_body_jac3(d, pos_bb[None, :], ctr))
+                            - padb2(_body_jac3(d, pos_bb[None, :], ctr2)))
+            invw_b2 = 2.0 / (3.0 * balls.mass[jprev])
+            rows.append(_pyramid_rows(
+                p, jf(bn), jf(bt1b), jf(bt2b), pen_bb[None], vf,
+                (pen_bb > 0.0)[None], jnp.ones((1,), dtype),
+                bb_dmin, bb_dmax, bb_width, invw_b + invw_b2, p.mu))
+
+    blw_dmin, blw_dmax, blw_width = 0.995, 0.995, 0.01
+    blk_ctr = []
+    for k in range(Bk):
+        cols = blk_cols[k]
+        dx = qf[cols["x"]] if "x" in cols else jnp.zeros((), dtype)
+        dy = qf[cols["y"]] if "y" in cols else jnp.zeros((), dtype)
+        blk_ctr.append(blocks.body_pos[k] + jnp.stack(
+            [dx, dy, jnp.zeros((), dtype)]))
+
+    def blk_jac(k, d3, pos_xy):
+        cols = blk_cols[k]
+        out = jnp.zeros((d3.shape[0], nd), dtype)
+        if "x" in cols:
+            out = out.at[:, cols["x"]].set(d3[:, 0])
+        if "y" in cols:
+            out = out.at[:, cols["y"]].set(d3[:, 1])
+        return out
+
+    for k in range(Bk):
+        ctr3 = blk_ctr[k]
+        one_box = WallBoxes(c=ctr3[None, :], h=blocks.half[k][None, :],
+                            mask=jnp.ones((1,), dtype))
+        invw_k = 1.0 / blocks.mass[k]
+
+        sb = _sphere_vs_boxes_r(one_box, xy, p.sphere_r, p.sphere_z)
+        sn3, st1, st2 = _make_frame(sb.n, sb.nz)
+        jf = lambda d, con=sb, kk=k: (
+            pad(_body_jac3(d, con.pos, xy)) - blk_jac(kk, d, con.pos))
+        rows.append(_pyramid_rows(
+            p, jf(sn3), jf(st1), jf(st2), sb.pen, vf, sb.active, sb.zmult,
+            p.dmin, p.dmax, p.width, invw_r + invw_k, p.mu))
+
+        ab = _arrow_vs_boxes(p, one_box, xy, th)
+        an3, at1, at2 = _make_frame(ab.n, ab.nz)
+        jfa = lambda d, con=ab, kk=k: (
+            pad(_body_jac3(d, con.pos, xy)) - blk_jac(kk, d, con.pos))
+        rows.append(_pyramid_rows(
+            p, jfa(an3), jfa(at1), jfa(at2), ab.pen, vf, ab.active, ab.zmult,
+            p.dmin, p.dmax, p.width, invw_r + invw_k, p.mu))
+
+        bwc = _aabb_vs_boxes(ctr3, blocks.half[k], boxes)
+        bn3, bt1, bt2 = _make_frame(bwc.n, bwc.nz)
+        jfw = lambda d, con=bwc, kk=k: blk_jac(kk, d, con.pos)
+        rows.append(_pyramid_rows(
+            p, jfw(bn3), jfw(bt1), jfw(bt2), bwc.pen, vf, bwc.active,
+            bwc.zmult, blw_dmin, blw_dmax, blw_width, invw_k, p.mu))
+
+        for kp in range(k):
+            other = WallBoxes(c=blk_ctr[kp][None, :],
+                              h=blocks.half[kp][None, :],
+                              mask=jnp.ones((1,), dtype))
+            bb = _aabb_vs_boxes(ctr3, blocks.half[k], other)
+            nb3, tb1, tb2 = _make_frame(bb.n, bb.nz)
+            jfb = lambda d, con=bb, kk=k, ko=kp: (
+                blk_jac(kk, d, con.pos) - blk_jac(ko, d, con.pos))
+            rows.append(_pyramid_rows(
+                p, jfb(nb3), jfb(tb1), jfb(tb2), bb.pen, vf, bb.active,
+                bb.zmult, blw_dmin, blw_dmax, blw_width,
+                invw_k + 1.0 / blocks.mass[kp], p.mu))
+
+        for i in range(B):
+            o = 3 + 3 * i
+            bctr = balls.body_pos[i] + jnp.stack([qf[o], qf[o + 1]])
+            blb = _sphere_vs_boxes_r(one_box, bctr, balls.r[i], balls.r[i])
+            ln3, lt1, lt2 = _make_frame(blb.n, blb.nz)
+            padb_i = lambda j3, o=o: jnp.zeros(
+                (j3.shape[0], nd), dtype).at[:, o:o + 3].set(j3)
+            jfl = lambda d, con=blb, kk=k, o=o, bctr=bctr: (
+                padb_i(_body_jac3(d, con.pos, bctr), o)
+                - blk_jac(kk, d, con.pos))
+            rows.append(_pyramid_rows(
+                p, jfl(ln3), jfl(lt1), jfl(lt2), blb.pen, vf, blb.active,
+                blb.zmult, p.dmin, p.dmax, p.width,
+                2.0 / (3.0 * balls.mass[i]) + invw_k, p.mu))
+
+    J = jnp.concatenate([r.J for r in rows], 0)[:, 3:]  # drop robot cols
+    aref = jnp.concatenate([r.aref for r in rows], 0)
+    rinv = jnp.concatenate([r.rinv for r in rows], 0)
+    any_active = jnp.any(rinv > 0.0)
+    qacc = _solve_newton(p, M, a0, J, aref, rinv,
+                         precondition=dtype != jnp.float64)
+    return jnp.where(any_active, qacc, a0)
+
+
+def rk4_object_step(p: PointWorldParams, boxes: WallBoxes, balls, blocks,
+                    rq3, rv3, q, v, floor_always: bool = False):
+    """One RK4 env step of the object dofs with the robot kinematic.
+
+    The robot pose advances at its prescribed velocity through the stages —
+    exactly the swept-contact sampling the full engine performs (the strike
+    penetration evolves within the step, so a teleporting robot transfers
+    the impedance-integrated impulse, not a single-sample kick)."""
+    h = jnp.asarray(p.dt, q.dtype)
+    A = (0.5, 0.5, 1.0)
+    B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+    fa = floor_always
+    vs = [v]
+    accs = [object_forward(p, boxes, balls, blocks, rq3, rv3, q, v,
+                           floor_always=fa)]
+    for a in A:
+        qi = q + a * h * vs[-1]
+        vi = v + a * h * accs[-1]
+        rqi = rq3 + a * h * rv3
+        vs.append(vi)
+        accs.append(object_forward(p, boxes, balls, blocks, rqi, rv3, qi, vi,
+                                   floor_always=fa))
+    qf = q + h * sum(b * vi for b, vi in zip(B, vs[:4]))
+    vf = v + h * sum(b * ai for b, ai in zip(B, accs))
+    return qf, vf
 
 
 def rk4_step_world(p: PointWorldParams, boxes: WallBoxes, balls,

@@ -233,31 +233,105 @@ def test_exact_push_block_momentum_golden(seed):
         assert np.mean(rob) < 2e-3, f"robot mean err {np.mean(rob):.2e}"
 
 
-def test_billiard_strike_golden():
-    """Directed strike scenario: the point drives through the ball.  The
-    soft-push model must reproduce MuJoCo's behavior class — a light nudge
-    (~1 m) that stops quickly — not plowing the ball across the maze.
-    Exact direction is aliasing-limited (one contact sample per teleport
-    step), so the bound is coarse."""
-    import os
+def test_billiard_strike_golden_f32():
+    """Directed strike on the float32 production path (round-4: reduced
+    robot-prescribed impedance solve, physics/point_world.object_forward,
+    RK4-swept within the step — no single-sample kick aliasing).
 
+    Metrics are aliasing-free by construction:
+    * full teacher-forced one-step ball error vs mj_step (tight);
+    * robot-channel-forced free ball: the ball evolves freely while the
+      robot follows the golden trajectory — isolates the object model from
+      the robot's own f32 free-run chaos (wall-press divergence reaches
+      ~12 over the 120 steps on this seed and re-strikes the ball, which
+      would make a final-position bound measure the robot, not the ball).
+    """
     path = os.path.join(GOLDEN_DIR, "PointBilliard-v0_strike.npz")
     if not os.path.exists(path):
         pytest.skip("strike golden missing")
     g = np.load(path)
     spec = mmt.make_spec("PointBilliard-v0")
+    assert spec.object_world is not None
     state0, _ = spec.reset(jax.random.PRNGKey(0))
     step = jax.jit(spec.step)
-    st = state0._replace(
-        qpos=jnp.asarray(g["reset_qpos"], jnp.float32),
-        qvel=jnp.asarray(g["reset_qvel"], jnp.float32),
-    )
+    # (a) full teacher-forced one-step errors (measured: mean 2.6e-3,
+    # median 2.6e-5, max 4.3e-2 at the deepest strike step)
+    qp, qv = g["reset_qpos"], g["reset_qvel"]
+    ball_e = []
+    for t in range(len(g["actions"])):
+        st = state0._replace(qpos=jnp.asarray(qp, jnp.float32),
+                             qvel=jnp.asarray(qv, jnp.float32))
+        res = step(st, jnp.asarray(g["actions"][t], jnp.float32))
+        ball_e.append(
+            np.abs(np.asarray(res.state.qpos)[3:5] - g["qpos"][t][3:5]).max())
+        qp, qv = g["qpos"][t], g["qvel"][t]
+    assert np.mean(ball_e) < 5e-3, f"strike TF ball mean {np.mean(ball_e):.2e}"
+    assert np.median(ball_e) < 1e-4
+    # (b) robot teacher-forced, ball free (measured max 0.94; the old
+    # calibrated kick model's free-run bound was 1.5 on a ball that barely
+    # moved)
+    st = state0._replace(qpos=jnp.asarray(g["reset_qpos"], jnp.float32),
+                         qvel=jnp.asarray(g["reset_qvel"], jnp.float32))
+    max_err = 0.0
     for t in range(len(g["actions"])):
         res = step(st, jnp.asarray(g["actions"][t], jnp.float32))
-        st = res.state
-    ball = np.asarray(spec.ball_runtimes[0].body_pos) + np.asarray(st.qpos)[3:5]
-    gold = g["ball_xy"][-1]
-    start = np.array([0.0, -3.0])
-    # both moved, in the same order of magnitude, and ours is within 1.5 of gold
-    assert 0.02 < np.linalg.norm(ball - start) < 2.5
-    assert np.linalg.norm(ball - gold) < 1.5
+        qn = np.asarray(res.state.qpos)
+        max_err = max(max_err,
+                      float(np.abs(qn[3:5] - g["qpos"][t][3:5]).max()))
+        # force the robot channel back to the golden; keep the ball free
+        qp_next = np.array(qn, np.float64)
+        qv_next = np.array(np.asarray(res.state.qvel), np.float64)
+        qp_next[:3] = g["qpos"][t][:3]
+        qv_next[:3] = g["qvel"][t][:3]
+        st = res.state._replace(qpos=jnp.asarray(qp_next, jnp.float32),
+                                qvel=jnp.asarray(qv_next, jnp.float32))
+    assert max_err < 1.2, f"robot-forced ball err {max_err:.3f}"
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_push_block_momentum_f32(seed):
+    """float32 production path on PointPush: the reduced impedance solve
+    gives blocks momentum (struck blocks glide — probed MuJoCo behavior)
+    and matches mj_step teacher-forced (measured block mean 1.3-2.8e-4,
+    median ~5e-8; the old quasi-static projection had no velocity state at
+    all)."""
+    g = _load("PointPush-v0", seed)
+    spec = mmt.make_spec("PointPush-v0")
+    assert spec.object_world is not None and spec.object_world[3] is not None
+    state0, _ = spec.reset(jax.random.PRNGKey(0))
+    step = jax.jit(spec.step)
+    blk = []
+    qp, qv = g["reset_qpos"], g["reset_qvel"]
+    for t in range(len(g["actions"])):
+        st = state0._replace(qpos=jnp.asarray(qp, jnp.float32),
+                             qvel=jnp.asarray(qv, jnp.float32))
+        res = step(st, jnp.asarray(g["actions"][t], jnp.float32))
+        blk.append(
+            np.abs(np.asarray(res.state.qpos)[3:5] - g["qpos"][t][3:5]).max())
+        qp, qv = g["qpos"][t], g["qvel"][t]
+    assert np.mean(blk) < 1e-3, f"block TF mean {np.mean(blk):.2e}"
+    assert np.median(blk) < 1e-5
+
+
+def test_block_glides_after_contact_f32():
+    """Momentum smoke: a block with velocity and no robot contact keeps
+    gliding at constant velocity (MuJoCo-probed: no floor friction on
+    slide-jointed blocks), instead of freezing like the old quasi-static
+    model."""
+    spec = mmt.make_spec("PointPush-v0")
+    state0, _ = spec.reset(jax.random.PRNGKey(0))
+    step = jax.jit(spec.step)
+    b = spec.block_runtimes[0]
+    qp = np.array(np.asarray(state0.qpos), np.float64)
+    qv = np.zeros_like(qp)
+    qp[:2] = [0.0, -6.0]  # robot far from the block
+    qv[b.qpos_idx[0]] = 1.0
+    st = state0._replace(qpos=jnp.asarray(qp, jnp.float32),
+                         qvel=jnp.asarray(qv, jnp.float32))
+    x0 = float(st.qpos[b.qpos_idx[0]])
+    for _ in range(5):
+        st = step(st, jnp.zeros(2, jnp.float32)).state
+    dt = spec.robot.timestep
+    moved = float(st.qpos[b.qpos_idx[0]]) - x0
+    np.testing.assert_allclose(moved, 5 * dt * 1.0, rtol=1e-3)
+    np.testing.assert_allclose(float(st.qvel[b.qpos_idx[0]]), 1.0, rtol=1e-4)
