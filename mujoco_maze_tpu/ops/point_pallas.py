@@ -576,6 +576,10 @@ def _step_math(ks: PointKernelSpec, q, v, t, ax, ar):
 def _make_kernel(ks: PointKernelSpec,
                  default_tile: int) -> LaneEnvKernel:
     nq_total = 3 + ks.n_world
+    if ks.object_spec is not None:
+        # the stacked contact rows of the reduced object solve live in
+        # VMEM as (R, tile) blocks — cap the tile so they fit
+        default_tile = min(default_tile, 512)
 
     def env_step(q, v, t, ctrl):
         ax, ar = ctrl
@@ -617,6 +621,8 @@ def build_rollout_kernel(ks: PointKernelSpec, num_envs: int, num_steps: int,
     Actions are sampled on-core (uniform over the Point action box) — the
     benchmark/random-rollout path with zero host↔device interchange.
     """
+    if ks.object_spec is not None:
+        tile = min(tile, 512)  # (R, tile) stacked contact rows in VMEM
     return _make_kernel(ks, tile).build_rollout(
         num_envs, num_steps, tile, interpret)
 
@@ -626,4 +632,6 @@ def build_step_kernel(ks: PointKernelSpec, num_envs: int, tile: int = 512,
     """Single-step mode with explicit actions, no auto-reset — the
     differential-testing surface against MazeEnvSpec.step and the public
     batched-API fast path."""
+    if ks.object_spec is not None:
+        tile = min(tile, 512)
     return _make_kernel(ks, tile).build_step(num_envs, tile, interpret)

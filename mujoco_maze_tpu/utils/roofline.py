@@ -113,8 +113,14 @@ def step_flops(env, tile: int = 256) -> Optional[float]:
     v = tuple(jnp.zeros((tile,), jnp.float32) for _ in range(nv))
     t = jnp.zeros((tile,), jnp.int32)
     ctrl = tuple(jnp.zeros((tile,), jnp.float32) for _ in range(nu))
-    compiled = jax.jit(body).lower(q, v, t, ctrl).compile()
-    ca = compiled.cost_analysis()
+    lowered = jax.jit(body).lower(q, v, t, ctrl)
+    try:
+        # pre-optimization HLO cost analysis: no backend compile (the Ant
+        # lane program costs minutes of XLA compile; the FLOP count is the
+        # same trace-time quantity either way)
+        ca = lowered.cost_analysis()
+    except Exception:
+        ca = lowered.compile().cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
     flops = float(ca.get("flops", 0.0))

@@ -66,6 +66,30 @@ def main() -> None:
         flush=True,
     )
 
+    if os.environ.get("MMT_MULTIHOST_BENCH", "") == "1":
+        # weak-scaling probe: fixed per-host batch, so aggregate
+        # throughput / (nproc x single-host) is the host-scaling
+        # efficiency (the CPU-mesh proxy for the >=90% target).
+        import time
+
+        bench_envs = 256 * nproc  # 256 envs per host
+        benv = mmt.make_batched("PointUMaze-v0", num_envs=bench_envs)
+        brunner = ShardedRollout(benv, mesh)
+        bsh = env_sharding(mesh)
+        bstate, _ = jax.jit(benv.reset, out_shardings=bsh)(
+            jax.random.PRNGKey(2))
+        steps = 256
+        out = brunner.rollout_metrics(bstate, steps, jax.random.PRNGKey(3))
+        jax.block_until_ready(out[0].qpos)
+        best = 0.0
+        for rep in range(3):
+            t0 = time.perf_counter()
+            out = brunner.rollout_metrics(
+                out[0], steps, jax.random.PRNGKey(4 + rep))
+            jax.block_until_ready(out[0].qpos)
+            best = max(best, bench_envs * steps / (time.perf_counter() - t0))
+        print(f"THROUGHPUT steps_s={best:.1f} envs={bench_envs}", flush=True)
+
 
 if __name__ == "__main__":
     main()

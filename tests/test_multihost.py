@@ -23,9 +23,8 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_cluster_rollout():
+def _run_cluster(nproc: int):
     port = _free_port()
-    nproc = 2
     procs = [
         subprocess.Popen(
             [sys.executable, str(DRIVER), str(port), str(i), str(nproc)],
@@ -48,9 +47,25 @@ def test_two_process_cluster_rollout():
         result_lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
         assert result_lines, f"no RESULT line:\n{out}\n{err}"
         outs.append(result_lines[0])
+    return outs
 
+
+def test_two_process_cluster_rollout():
+    outs = _run_cluster(2)
     # cross-process collectives: the replicated reward/episode scalars agree
     assert outs[0] == outs[1], f"process results diverge: {outs}"
     fields = dict(kv.split("=") for kv in outs[0].split()[1:])
     assert fields["ndev"] == "4"  # 2 processes x 2 virtual devices
     assert fields["local"] == "16"  # each host egresses only its 32/2 slice
+
+
+def test_four_process_cluster_rollout():
+    """Round-4 (verdict #7): the bring-up path at N=4 hosts — replicated
+    scalars agree across all four processes and each host egresses exactly
+    its 32/4 slice.  Scaling-efficiency capture: tools/multihost_scaling.py
+    → artifacts/MULTIHOST_SCALING.json."""
+    outs = _run_cluster(4)
+    assert len(set(outs)) == 1, f"process results diverge: {outs}"
+    fields = dict(kv.split("=") for kv in outs[0].split()[1:])
+    assert fields["ndev"] == "8"  # 4 processes x 2 virtual devices
+    assert fields["local"] == "8"  # each host egresses only its 32/4 slice
