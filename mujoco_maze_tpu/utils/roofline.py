@@ -127,6 +127,43 @@ def step_flops(env, tile: int = 256) -> Optional[float]:
     return flops / tile
 
 
+def op_census(env, tile: int = 256) -> Optional[dict]:
+    """Per-env-step op counts by class from the jaxpr — separates cheap
+    FMAs from the expensive serial ops (div/sqrt/transcendental cost many
+    VPU cycles but one 'flop'), which is what actually bounds the
+    latency-dominated kernels."""
+    lk = _lane_kernel_for(env)
+    if lk is None:
+        return None
+    nq, nv, nu = lk.nq, lk.nv, lk.nu
+    tables = tuple(lk.smem_tables)
+
+    def body(q, v, t, ctrl):
+        reads = tuple((lambda tab: (lambda i: tab[i]))(tab) for tab in tables)
+        return lk.env_step(tuple(q), tuple(v), t, tuple(ctrl), *reads)
+
+    q = tuple(jnp.zeros((tile,), jnp.float32) for _ in range(nq))
+    v = tuple(jnp.zeros((tile,), jnp.float32) for _ in range(nv))
+    t = jnp.zeros((tile,), jnp.int32)
+    ctrl = tuple(jnp.zeros((tile,), jnp.float32) for _ in range(nu))
+    jaxpr = jax.make_jaxpr(body)(q, v, t, ctrl)
+    counts: dict = {}
+
+    def walk(jpr):
+        for eqn in jpr.eqns:
+            counts[eqn.primitive.name] = counts.get(eqn.primitive.name, 0) + 1
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    walk(sub.jaxpr)
+                elif isinstance(sub, (list, tuple)):
+                    for s in sub:
+                        if hasattr(s, "jaxpr"):
+                            walk(s.jaxpr)
+
+    walk(jaxpr.jaxpr)
+    return counts
+
+
 def mfu(env_steps_per_s: float, flops_per_step: float,
         peak: Optional[float] = None) -> float:
     """Fraction of the measured VPU roofline the kernel sustains."""
