@@ -71,8 +71,12 @@ class AntEnvKernelSpec(NamedTuple):
     obs_offset: int = 0      # 0 = robot heads; 3 = first object (Billiard)
 
 
-def spec_from_env(spec, solver_iters: int = 10) -> AntEnvKernelSpec:
+def spec_from_env(spec, solver_iters: int | None = None) -> AntEnvKernelSpec:
     assert spec.robot.NAME == "Ant"
+    if solver_iters is None:
+        from ..physics.contact import CONTACT_SOLVER_ITERS
+
+        solver_iters = CONTACT_SOLVER_ITERS  # kernel == engine parity
     g = spec.heads.goals
     return AntEnvKernelSpec(
         ac=consts_from_model(spec.dynamic_model),

@@ -64,7 +64,11 @@ class EngineEnvKernelSpec(NamedTuple):
     head_base: tuple   # static offsets added to the anchor components
 
 
-def spec_from_env(spec, solver_iters: int = 10) -> EngineEnvKernelSpec:
+def spec_from_env(spec, solver_iters: int | None = None) -> EngineEnvKernelSpec:
+    if solver_iters is None:
+        from ..physics.contact import CONTACT_SOLVER_ITERS
+
+        solver_iters = CONTACT_SOLVER_ITERS  # kernel == engine parity
     robot = spec.robot
     assert getattr(robot, "USES_WORLD_ENGINE", False), (
         "generic engine kernel serves engine-world robots"

@@ -21,6 +21,7 @@ from mujoco_maze_tpu.ops.ant_math import (
     rk4_step_ant,
     world_from_spec,
 )
+from mujoco_maze_tpu.physics import contact as _cm
 from mujoco_maze_tpu.physics import engine as eng
 
 
@@ -69,7 +70,7 @@ def test_forward_matches_engine(ant_setup):
         )
         qacc_ref = eng.forward(model, qpos, qvel, ctrl, extra_qfrc=extra_cb)
         qacc = forward_ant(
-            ac, aw, _cols(qpos), _cols(qvel), _cols(ctrl), solver_iters=10
+            ac, aw, _cols(qpos), _cols(qvel), _cols(ctrl), solver_iters=_cm.CONTACT_SOLVER_ITERS
         )
         qacc = jnp.stack([a[0] for a in qacc])
         err = float(jnp.abs(qacc - qacc_ref[:14]).max())
@@ -108,7 +109,7 @@ def test_trajectory_matches_env(ant_setup):
     v = _cols(qvel)
     rng = np.random.RandomState(0)
     def step_fn(q, v, c):
-        return rk4_step_ant(ac, aw, q, v, c, solver_iters=10)
+        return rk4_step_ant(ac, aw, q, v, c, solver_iters=_cm.CONTACT_SOLVER_ITERS)
     for step in range(1):
         ctrl = jnp.asarray(rng.uniform(-30, 30, (4, 8)), jnp.float32)
         res = env.step(state, ctrl)
@@ -171,7 +172,7 @@ def test_block_forward_matches_engine(env_id):
         qpos, qvel, ctrl = jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl)
         qacc_ref = eng.forward(model, qpos, qvel, ctrl, extra_qfrc=extra_cb)
         qacc = forward_ant(
-            ac, aw, _cols(qpos), _cols(qvel), _cols(ctrl), solver_iters=10
+            ac, aw, _cols(qpos), _cols(qvel), _cols(ctrl), solver_iters=_cm.CONTACT_SOLVER_ITERS
         )
         qacc = jnp.stack([a[0] for a in qacc])
         err = float(jnp.abs(qacc - qacc_ref).max())
@@ -221,7 +222,7 @@ def test_ball_forward_matches_engine():
                             jnp.asarray(ctrl))
         qacc_ref = eng.forward(model, qpos, qvel, ctrl, extra_qfrc=extra_cb)
         qacc = forward_ant(
-            ac, aw, _cols(qpos), _cols(qvel), _cols(ctrl), solver_iters=10
+            ac, aw, _cols(qpos), _cols(qvel), _cols(ctrl), solver_iters=_cm.CONTACT_SOLVER_ITERS
         )
         qacc = jnp.stack([a[0] for a in qacc])
         rel = float(jnp.abs(qacc - qacc_ref).max()) / (
@@ -244,7 +245,7 @@ def test_block_trajectory_matches_env():
     res = env.step(state, ctrl)
     cc = _cols(ctrl[0])
     for _ in range(spec.robot.frame_skip):
-        q, v = rk4_step_ant(ac, aw, q, v, cc, solver_iters=10)
+        q, v = rk4_step_ant(ac, aw, q, v, cc, solver_iters=_cm.CONTACT_SOLVER_ITERS)
     ref_q = np.asarray(res.state.qpos[0])
     got_q = np.asarray([q[i][0] for i in range(spec.nq)])
     assert np.abs(got_q - ref_q).max() < 5e-4
@@ -262,7 +263,7 @@ def test_step_kernel_tpu_differential(env_id):
 
     B = 256
     env = mmt.make_batched(env_id, num_envs=B, auto_reset=False)
-    es = ap.spec_from_env(env.spec, solver_iters=10)
+    es = ap.spec_from_env(env.spec, solver_iters=_cm.CONTACT_SOLVER_ITERS)
     step_k = ap.build_step_kernel(es, B, tile=B)
     state, _ = env.reset(jax.random.PRNGKey(0))
     actions = jnp.asarray(
