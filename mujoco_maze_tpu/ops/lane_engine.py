@@ -685,11 +685,15 @@ def _keep2(cand, like):
 # ---------------------------------------------------------------------------
 
 
-def forward_lane(lw: LaneWorld, q, v, ctrl, solver_iters: int = 10):
+def forward_lane(lw: LaneWorld, q, v, ctrl, solver_iters: int | None = None):
     """qacc (tuple of nv lanes): smooth + limits + contacts.
 
     Transliteration of engine.forward + contact.contact_qfrc in the lane
     formulation, generic over the model topology."""
+    if solver_iters is None:
+        from ..physics.contact import CONTACT_SOLVER_ITERS
+
+        solver_iters = CONTACT_SOLVER_ITERS  # lane == engine parity
     model = lw.model
     like = q[0]
     nv = model.nv
@@ -928,7 +932,7 @@ def integrate_lane(model: RigidModel, q, v, h):
     return tuple(out)
 
 
-def rk4_step_lane(lw: LaneWorld, q, v, ctrl, solver_iters: int = 10):
+def rk4_step_lane(lw: LaneWorld, q, v, ctrl, solver_iters: int | None = None):
     """One RK4 step of lw.model.timestep (engine.rk4_step tableau)."""
     model = lw.model
     h = float(model.timestep)

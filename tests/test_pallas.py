@@ -104,9 +104,10 @@ def test_swimmer_object_world_step_kernel(env_id):
 
 
 def test_block_block_separation_matches_kernel():
-    """MultiPush worlds: overlapping movable blocks separate along the
-    least-penetration axis (quasi-static analog of the f64 path's
-    block-block rows), identically on the XLA path and the kernel."""
+    """MultiPush worlds: overlapping movable blocks separate through the
+    round-4 impedance block-block rows — GRADUALLY, over a few steps, like
+    the f64 engine (the old quasi-static model teleported them apart in
+    one step) — identically on the XLA path and the kernel."""
     from mujoco_maze_tpu.ops import point_pallas as pp
 
     B = 8
@@ -128,11 +129,6 @@ def test_block_block_separation_matches_kernel():
         if b0.qpos_idx[k] >= 0:
             qp[:, b0.qpos_idx[k]] = want[k] - c0[k]
     state = state._replace(qpos=jnp.asarray(qp))
-    res = env.step(state, jnp.zeros((B, 2), jnp.float32))
-    qpk, *_ = step_k(state.qpos, state.qvel, state.t,
-                     jnp.zeros((B, 2), jnp.float32))
-    np.testing.assert_allclose(
-        np.asarray(qpk), np.asarray(res.state.qpos), atol=1e-5)
 
     def pen_min(q):
         cs = []
@@ -145,7 +141,19 @@ def test_block_block_separation_matches_kernel():
         return min(float(b0.half[k] + b1.half[k]) - abs(cs[0][k] - cs[1][k])
                    for k in range(2))
 
-    assert pen_min(np.asarray(res.state.qpos)[0]) < pen_min(qp[0]) - 0.1
+    pen0 = pen_min(qp[0])
+    for _ in range(12):
+        res = env.step(state, jnp.zeros((B, 2), jnp.float32))
+        qpk, *_ = step_k(state.qpos, state.qvel, state.t,
+                         jnp.zeros((B, 2), jnp.float32))
+        # kernel (object_lanes, production 6/10 Newton counts) vs XLA
+        # (monolithic 10/14 oracle): ~2e-6 per step, compounding through
+        # this deliberately deep 0.3-overlap scenario to a few e-4
+        np.testing.assert_allclose(
+            np.asarray(qpk), np.asarray(res.state.qpos), atol=1e-3)
+        state = res.state
+    # blocks acquired separating velocity and worked the 0.3 overlap off
+    assert pen_min(np.asarray(state.qpos)[0]) < pen0 - 0.15
 
 
 def test_make_fast_rollout_dispatch():

@@ -42,7 +42,20 @@ def main() -> None:
 
     t0 = time.time()
     results = {}
-    ids = mmt.env_ids()
+    # coverage-first order: the -v0 of every (maze family x robot) before
+    # any reward variant, families interleaved across robots — each ID's
+    # task heads give the kernel a distinct spec digest (a fresh compile),
+    # and Ant compiles cost ~5 min each, so under a budget the exotic
+    # worlds must not queue behind v1/v2 re-compiles of proven mazes nor
+    # behind an alphabetical all-Ant prefix.
+    def order(e):
+        name, ver = e.rsplit("-v", 1)
+        for robot in ("Point", "Ant", "Swimmer", "Reacher"):
+            if name.startswith(robot):
+                return (int(ver), name[len(robot):], robot)
+        return (int(ver), name, "")
+
+    ids = sorted(mmt.env_ids(), key=order)
     for n, eid in enumerate(ids):
         left = BUDGET_S - (time.time() - t0)
         if left < 30:
