@@ -136,3 +136,19 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(res2a.obs), np.asarray(res2b.obs), atol=1e-7
     )
+
+
+def test_roofline_flop_accounting():
+    """utils/roofline: XLA cost-model FLOPs/step and the jaxpr op census
+    exist for the fused kernels and scale sanely (Ant >> Point)."""
+    import mujoco_maze_tpu as mmt
+    from mujoco_maze_tpu.utils import roofline
+
+    point = mmt.make_batched("PointUMaze-v0", num_envs=64, fast_step=False)
+    f_point = roofline.step_flops(point, tile=64)
+    assert f_point is not None and 500 < f_point < 1e5
+    census = roofline.op_census(point, tile=64)
+    assert census["mul"] > 100
+    ant = mmt.make_batched("AntUMaze-v0", num_envs=64, fast_step=False)
+    f_ant = roofline.step_flops(ant, tile=64)
+    assert f_ant > 10 * f_point  # contact dynamics dwarf the kinematic step
