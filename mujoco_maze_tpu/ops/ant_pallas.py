@@ -157,6 +157,18 @@ def _make_kernel(es: AntEnvKernelSpec,
             # (free-joint qpos, envs/env.py _ball_center3)
             a = es.aw.balls[0].qadr
             outer, term = goal_heads(es, q[a], q[a + 1], q[a + 2])
+        elif es.obs_offset == 3 and es.aw.blocks:
+            # BlockCarry heads: first observed object = the block's center
+            # (body base + slide dofs; envs/env.py _block_center) — the
+            # round-4 registry sweep caught the kernel anchoring on the
+            # robot instead (reward err 1.05 on AntBlockCarry)
+            bl = es.aw.blocks[0]
+            like = q[0]
+            c = [np.float32(bl.base[ax]) + jnp.zeros_like(like)
+                 for ax in range(3)]
+            for ax, d in zip(bl.axes, bl.vadr):
+                c[ax] = c[ax] + q[d + 1]
+            outer, term = goal_heads(es, c[0], c[1], c[2])
         else:
             outer, term = goal_heads(es, q[0], q[1], q[2])
         reward = np.float32(es.inner_scale) * inner + outer

@@ -100,7 +100,12 @@ def _make_kernel(es: SwimmerEnvKernelSpec) -> LaneEnvKernel:
         ctrl_cost = np.float32(1e-4) * sum(a * a for a in ctrl)
         inner = forward - ctrl_cost
         t = t + 1
-        outer, term = goal_heads(es, q[0], q[1])
+        # heads see obs[:3] = (x, y, first joint angle) — the reference's
+        # MazeGoal.euc_dist compares obs[2] against a 3D goal's z for the
+        # elevated Fall/MultiFall worlds (a reference quirk the XLA path
+        # replicates; round-4 registry sweep caught the kernel dropping it:
+        # SwimmerFall reward err 2.28)
+        outer, term = goal_heads(es, q[0], q[1], q[2])
         reward = np.float32(es.inner_scale) * inner + outer
         trunc = t >= es.episode_limit
         return (tuple(q) + q_full[nq:], tuple(v) + v_full[nq:],

@@ -73,7 +73,13 @@ def test_rollout_kernel_semantics():
 
 
 @pytest.mark.parametrize(
-    "env_id", ["SwimmerPush-v0", "ReacherFall-v1", "SwimmerMultiFall-v2"]
+    "env_id",
+    ["SwimmerPush-v0", "ReacherFall-v1", "SwimmerMultiFall-v2",
+     # dist-reward Fall: the reference's 3D goal compares obs[2] (a joint
+     # angle) against the platform z — the r4 registry sweep caught the
+     # kernel dropping that term (reward err 2.28); goal-reward variants
+     # cannot see it
+     "SwimmerFall-v0"],
 )
 def test_swimmer_object_world_step_kernel(env_id):
     """Swimmer-family object worlds: world dofs are pass-through lanes
