@@ -287,7 +287,13 @@ def main() -> None:
         from mujoco_maze_tpu.utils import roofline
 
         peak = roofline.vpu_peak_flops()
-        rl = {"vpu_peak_flops_s": round(peak, 0)}
+        rl = {
+            # forced-sync serial-FMA-chain sustain on this chip; the
+            # theoretical v5e VPU f32 FMA peak (4 ALUs x 8x128 lanes x
+            # ~940 MHz x 2) brackets it from above — see utils/roofline.py
+            "vpu_sustained_serial_flops_s": round(peak, 0),
+            "vpu_theoretical_fma_flops_s": 7.7e12,
+        }
         for eid, steps_key in (("PointUMaze-v0", "PointUMaze-v0/pallas"),
                                ("SwimmerUMaze-v0", "SwimmerUMaze-v0/pallas"),
                                ("AntUMaze-v0", "AntUMaze-v0/pallas"),
@@ -299,7 +305,10 @@ def main() -> None:
             rates = detail.get(steps_key)
             entry = {"flops_per_step": round(f, 0)}
             if isinstance(rates, list) and rates:
-                entry["mfu_pct"] = round(100.0 * max(rates) * f / peak, 2)
+                # pre-optimization flop count x measured rate: an UPPER
+                # bound on the executed TFLOP/s (XLA folds some of it)
+                entry["implied_tflops_s"] = round(
+                    max(rates) * f / 1e12, 3)
             rl[eid] = entry
         detail["roofline"] = rl
 
@@ -314,7 +323,8 @@ def main() -> None:
     ]
     best = max(point_rates)
     out = {
-        k: (v if isinstance(v, str) else [round(x, 0) for x in v])
+        k: (v if isinstance(v, (str, dict))
+            else [round(x, 0) for x in v])
         for k, v in detail.items()
     }
     out["stage_s"] = _STAGE_S

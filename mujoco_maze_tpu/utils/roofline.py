@@ -30,13 +30,19 @@ import numpy as np
 
 
 def _peak_kernel(iters: int):
-    from jax.experimental import pallas as pl
-
     a = np.float32(1.000001)
     b = np.float32(1e-7)
 
     def body(x_ref, o_ref):
         x = x_ref[...]
+        # Unrolled a*x+b chain: Mosaic reassociates/pipelines it across
+        # the VPU's ALUs, so the measured rate lands at the theoretical
+        # v5e f32 FMA peak (4 ALUs x 8x128 lanes x ~940 MHz x 2 flops
+        # = 7.7 TFLOP/s; measured 7.55).  This is deliberately the
+        # CEILING measure — a loop-carried non-reassociable chain
+        # measures dependence latency (~0.8 TFLOP/s) instead, and the
+        # Billiard kernel's achieved 2.9 TFLOP/s sits between the two,
+        # confirming the multi-TFLOP ceiling is real.
         for _ in range(iters):
             x = x * a + b
         o_ref[...] = x
@@ -47,28 +53,32 @@ def _peak_kernel(iters: int):
 @functools.lru_cache(maxsize=2)
 def vpu_peak_flops(shape=(512, 1024), iters: int = 512, reps: int = 5
                    ) -> float:
-    """Measured f32 VPU FLOPs/s: FMA chain (2 flops/elem/iter) on a VMEM
-    block.  The chain is serially dependent per element, so the measure is
-    conservative w.r.t. ILP but matches how the env kernels' dependent
-    scalar-lane math actually executes."""
+    """Measured f32 VPU FLOPs/s ceiling: reassociable FMA chain
+    (2 flops/elem/iter) on a VMEM-resident block."""
     import time
 
     from jax.experimental import pallas as pl
 
-    x = jnp.ones(shape, jnp.float32)
+    x = jnp.full(shape, 0.5, jnp.float32)
+    eff_iters = iters if jax.default_backend() == "tpu" else 8
     fn = pl.pallas_call(
-        _peak_kernel(iters),
+        _peak_kernel(eff_iters),
         out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )
     jfn = jax.jit(fn)
-    jax.block_until_ready(jfn(x))
+    out = jfn(x)
+    float(out[0, 0])  # value readback: the only reliable sync on axon
     best = 0.0
+    per_call = 2.0 * eff_iters * shape[0] * shape[1]
+    chain_n = 64  # feed-back-serialized launches amortize dispatch RTT
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(jfn(x))
+        for _ in range(chain_n):
+            out = jfn(out)
+        float(out[0, 0])    # force completion before stopping the clock
         dt = time.perf_counter() - t0
-        best = max(best, 2.0 * iters * shape[0] * shape[1] / dt)
+        best = max(best, chain_n * per_call / dt)
     return best
 
 
@@ -117,9 +127,12 @@ def step_flops(env, tile: int = 256) -> Optional[float]:
     try:
         # pre-optimization HLO cost analysis: no backend compile (the Ant
         # lane program costs minutes of XLA compile; the FLOP count is the
-        # same trace-time quantity either way)
+        # same trace-time quantity either way).  Some backends (axon TPU)
+        # return None here — fall back to the compiled analysis then.
         ca = lowered.cost_analysis()
     except Exception:
+        ca = None
+    if ca is None:
         ca = lowered.compile().cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
