@@ -42,6 +42,12 @@ def main() -> None:
 
     t0 = time.time()
     results = {}
+    # resume: keep completed entries from a previous pass (budget-skipped
+    # or errored IDs re-run), so successive passes extend coverage
+    if OUT.exists():
+        prev = json.loads(OUT.read_text()).get("results", {})
+        results.update({k: v for k, v in prev.items()
+                        if v.get("stepped") is not None})
     # coverage-first order: the -v0 of every (maze family x robot) before
     # any reward variant, families interleaved across robots — each ID's
     # task heads give the kernel a distinct spec digest (a fresh compile),
@@ -57,6 +63,8 @@ def main() -> None:
 
     ids = sorted(mmt.env_ids(), key=order)
     for n, eid in enumerate(ids):
+        if results.get(eid, {}).get("stepped") is not None:
+            continue  # completed in a previous pass
         left = BUDGET_S - (time.time() - t0)
         if left < 30:
             results[eid] = {"skipped": "budget"}
@@ -91,6 +99,15 @@ def main() -> None:
         except Exception as e:
             entry["error"] = repr(e)[:200]
         results[eid] = entry
+        _write(results, ids, t0, jax, np)
+
+    print(json.dumps(_write(results, ids, t0, jax, np)))
+
+
+def _write(results, ids, t0, jax, np) -> dict:
+    """Incremental artifact write — an interrupted sweep keeps its
+    coverage and the next pass resumes from it."""
+    import time
 
     kernels = sum(1 for v in results.values() if v.get("kernel"))
     stepped = sum(1 for v in results.values() if v.get("stepped"))
@@ -106,9 +123,11 @@ def main() -> None:
         "backend": jax.default_backend(),
     }
     OUT.parent.mkdir(exist_ok=True)
-    OUT.write_text(json.dumps(
+    tmp = OUT.with_suffix(".tmp")
+    tmp.write_text(json.dumps(
         {"summary": summary, "results": results}, indent=1) + "\n")
-    print(json.dumps(summary))
+    tmp.replace(OUT)
+    return summary
 
 
 if __name__ == "__main__":
