@@ -143,13 +143,17 @@ def make(
     camera_move_y: Optional[float] = None,
     camera_zoom: Optional[float] = None,
     image_shape=(600, 480),
+    render_mode: Optional[str] = None,
     **kwargs,
 ):
     """Single-env gymnasium-style adapter (host-friendly API).
 
     Viewer/camera kwargs mirror the reference MazeEnv signature
     (maze_env.py:28-44); the software renderer applies them as a 2-D
-    pan/zoom (render2d.render_camera_view).
+    pan/zoom (render2d.render_camera_view).  ``render_mode="human"``
+    streams to the local browser viewer (the headless analog of the
+    reference's GL window).  The returned env pickles by remembering its
+    ``(env_id, kwargs)`` (the reference's EzPickle analog).
     """
     from .envs.gym_adapter import MazeGymEnv
 
@@ -161,6 +165,14 @@ def make(
         camera_move_x=camera_move_x,
         camera_move_y=camera_move_y,
         camera_zoom=camera_zoom,
+        render_mode=render_mode,
+        env_id=env_id,
+        make_kwargs=dict(kwargs, websock_port=websock_port,
+                         camera_move_x=camera_move_x,
+                         camera_move_y=camera_move_y,
+                         camera_zoom=camera_zoom,
+                         image_shape=image_shape,
+                         render_mode=render_mode),
     )
 
 

@@ -117,3 +117,65 @@ def test_stdlib_viewer_video_endpoint():
         assert len(body) > 100
     finally:
         pipe.send(None)
+
+
+def test_pickle_roundtrip_make():
+    """EzPickle parity (reference agent_model.py:12): envs re-make by
+    (env_id, kwargs) and carry episode state + RNG stream across."""
+    import pickle
+
+    env = mmt.make("PointUMaze-v0", camera_zoom=1.5)
+    obs0, _ = env.reset(seed=3)
+    env.step(np.zeros(2, np.float32))
+    clone = pickle.loads(pickle.dumps(env))
+    assert clone.spec_tpu.robot.NAME == "Point"
+    assert clone._camera == env._camera
+    # episode state carried: next steps agree
+    a = np.full(2, 0.25, np.float32)
+    o1 = env.step(a)[0]
+    o2 = clone.step(a)[0]
+    np.testing.assert_allclose(o1, o2, rtol=1e-6)
+
+
+def test_pickle_roundtrip_gymnasium():
+    import pickle
+
+    import gymnasium
+
+    env = gymnasium.make("AntUMaze-v0")
+    env.reset(seed=5)
+    clone = pickle.loads(pickle.dumps(env))
+    obs, _, _, _, _ = clone.step(np.zeros(8, np.float32))
+    assert obs.shape == (30,)
+
+
+def test_pickle_raw_spec_env_raises():
+    import pickle
+
+    import pytest
+
+    from mujoco_maze_tpu.envs.gym_adapter import MazeGymEnv
+
+    env = MazeGymEnv(mmt.make_spec("PointUMaze-v0"))
+    with pytest.raises(TypeError, match="not picklable"):
+        pickle.dumps(env)
+
+
+def test_render_mode_human_returns_none_and_streams(tmp_path):
+    """Human mode is the headless analog of the reference's GL viewer
+    window (maze_env.py:416-420): frames stream to the browser viewer and
+    render() returns None (gymnasium human-mode contract)."""
+    env = mmt.make("PointUMaze-v0", render_mode="human")
+    env.reset(seed=0)
+    out = env.render()
+    assert out is None
+    assert env._websock_port is not None
+    assert env._websock_server_pipe is not None
+    env.close()
+
+
+def test_render_mode_invalid_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="render_mode"):
+        mmt.make("PointUMaze-v0", render_mode="depth")
