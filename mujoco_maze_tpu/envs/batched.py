@@ -97,11 +97,20 @@ class BatchedMazeEnv:
         spec = self.spec
         robot = spec.robot
         auto_reset = self.auto_reset
+        # sample_goals() tasks: the kernel carries per-env goal positions
+        # (ops.make_fast_step's fifth operand); resets below resample them
+        # through spec.reset like every other state leaf
+        takes_goal = spec.task.sample_goals()
 
         def fstep(state: EnvState, actions: jnp.ndarray) -> StepResult:
             xy0 = state.qpos[:, :2]
-            qp, qv, tt, rew, term = kern(
-                state.qpos, state.qvel, state.t, actions)
+            if takes_goal:
+                qp, qv, tt, rew, term = kern(
+                    state.qpos, state.qvel, state.t, actions,
+                    state.goal_pos)
+            else:
+                qp, qv, tt, rew, term = kern(
+                    state.qpos, state.qvel, state.t, actions)
             qp = qp.astype(spec.dtype)
             qv = qv.astype(spec.dtype)
             trunc = tt >= EPISODE_LIMIT

@@ -39,6 +39,12 @@ def make_fast_rollout(env, num_steps: int, tile: int | None = None):
     import importlib
 
     spec = env.spec
+    # per-episode goal resampling lives in the XLA reset path; the rollout
+    # kernel's in-kernel auto-reset cannot run a task's arbitrary
+    # sample_goal_positions law — those tasks ride make_fast_step (which
+    # carries a per-env goal operand) with resets folded in XLA
+    if spec.task.sample_goals():
+        return None
     mod_name = _KERNEL_MODULES.get(spec.robot.NAME)
     if mod_name is None:
         return None
@@ -80,18 +86,18 @@ def make_fast_step(env, tile: int | None = None,
     Returns ``step(qpos, qvel, t, actions) -> (qpos, qvel, t, reward,
     terminated)`` over one ``pallas_call`` (no auto-reset — the caller
     folds resets in XLA), or ``None`` when the robot/task combination has
-    no fused kernel or needs state the kernel does not carry (per-episode
-    goal sampling).  ``num_envs`` overrides the env's batch size — the
-    shard_map rollout uses this to build per-device-shard kernels."""
+    no fused kernel.  For ``sample_goals()`` tasks (the resampling hook
+    the reference left latent, maze_task.py:375-376) the returned step
+    takes a fifth ``goal (B, G, 3)`` operand — per-env goal positions
+    carried as lane rows — so goal-resampling tasks ride the fast path
+    too (callers pass ``state.goal_pos``; extended observations are fine
+    either way — the wrapper derives them from qpos via spec._observe).
+    ``num_envs`` overrides the env's batch size — the shard_map rollout
+    uses this to build per-device-shard kernels."""
     import importlib
 
     spec = env.spec
     mod_name = _KERNEL_MODULES.get(spec.robot.NAME)
-    # per-episode goal resampling needs goal state the kernel doesn't carry;
-    # extended observations are fine — the wrapper derives them from qpos
-    # via spec._observe.
-    if spec.task.sample_goals():
-        return None
     if mod_name is None:
         # custom robots composed through the extension API: the generic
         # scalar-lane engine kernel (ops/engine_pallas) fuses their
@@ -126,5 +132,10 @@ def make_fast_step(env, tile: int | None = None,
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((B, int(spec.robot.action_dim)), jnp.float32),
     )
+    if spec.task.sample_goals():
+        import numpy as np
+
+        G = int(np.asarray(ks.goal_valid).shape[0])
+        example = example + (jnp.zeros((B, G, 3), jnp.float32),)
     key = (f"step-{spec.robot.NAME}-B{B}-T{tile}-f32-{kc.spec_digest(ks)}")
     return kc.cached_kernel(key, build, example)

@@ -69,6 +69,7 @@ class AntEnvKernelSpec(NamedTuple):
     episode_limit: int
     solver_iters: int
     obs_offset: int = 0      # 0 = robot heads; 3 = first object (Billiard)
+    dynamic_goals: bool = False  # sample_goals() task: goal lane operand
 
 
 def spec_from_env(spec, solver_iters: int | None = None) -> AntEnvKernelSpec:
@@ -97,6 +98,7 @@ def spec_from_env(spec, solver_iters: int | None = None) -> AntEnvKernelSpec:
         episode_limit=1000,
         solver_iters=solver_iters,
         obs_offset=int(spec.task.OBS_OFFSET),
+        dynamic_goals=bool(spec.task.sample_goals()),
     )
 
 
@@ -138,7 +140,7 @@ def _make_kernel(es: AntEnvKernelSpec,
     nq, nv = es.nq, es.nv
     dt_outer = np.float32(es.ac.timestep * es.frame_skip)
 
-    def env_step(q, v, t, ctrl, hs_read, ws_read):
+    def env_step(q, v, t, ctrl, hs_read, ws_read, goal=None):
         x0, y0 = q[0], q[1]
 
         def body(_, carry):
@@ -156,7 +158,8 @@ def _make_kernel(es: AntEnvKernelSpec,
             # Billiard heads: first observed object = the ball's center3
             # (free-joint qpos, envs/env.py _ball_center3)
             a = es.aw.balls[0].qadr
-            outer, term = goal_heads(es, q[a], q[a + 1], q[a + 2])
+            outer, term = goal_heads(es, q[a], q[a + 1], q[a + 2],
+                                     goal=goal)
         elif es.obs_offset == 3 and es.aw.blocks:
             # BlockCarry heads: first observed object = the block's center
             # (body base + slide dofs; envs/env.py _block_center) — the
@@ -168,9 +171,9 @@ def _make_kernel(es: AntEnvKernelSpec,
                  for ax in range(3)]
             for ax, d in zip(bl.axes, bl.vadr):
                 c[ax] = c[ax] + q[d + 1]
-            outer, term = goal_heads(es, c[0], c[1], c[2])
+            outer, term = goal_heads(es, c[0], c[1], c[2], goal=goal)
         else:
-            outer, term = goal_heads(es, q[0], q[1], q[2])
+            outer, term = goal_heads(es, q[0], q[1], q[2], goal=goal)
         reward = np.float32(es.inner_scale) * inner + outer
         trunc = t >= es.episode_limit
         return q, v, t, reward, term, trunc
@@ -212,6 +215,7 @@ def _make_kernel(es: AntEnvKernelSpec,
         smem_tables=(hs_tab, ws_tab),
         default_tile=_default_tile(es.aw, tile),
         compiler_params=_VMEM_LIMIT,
+        n_goal=len(es.goal_valid) if es.dynamic_goals else 0,
     )
 
 

@@ -62,6 +62,7 @@ class EngineEnvKernelSpec(NamedTuple):
     obs_offset: int
     head_qadr: tuple   # qpos indices of the heads anchor (3,)
     head_base: tuple   # static offsets added to the anchor components
+    dynamic_goals: bool = False  # sample_goals() task: goal lane operand
 
 
 def spec_from_env(spec, solver_iters: int | None = None) -> EngineEnvKernelSpec:
@@ -73,7 +74,6 @@ def spec_from_env(spec, solver_iters: int | None = None) -> EngineEnvKernelSpec:
     assert getattr(robot, "USES_WORLD_ENGINE", False), (
         "generic engine kernel serves engine-world robots"
     )
-    assert not spec.task.sample_goals(), "static goals only"
     # heads anchor: robot qpos[:3], or the first observed object
     if spec.task.OBS_OFFSET == 0:
         head_qadr, head_base = (0, 1, 2), (0.0, 0.0, 0.0)
@@ -112,6 +112,7 @@ def spec_from_env(spec, solver_iters: int | None = None) -> EngineEnvKernelSpec:
         obs_offset=int(spec.task.OBS_OFFSET),
         head_qadr=head_qadr,
         head_base=head_base,
+        dynamic_goals=bool(spec.task.sample_goals()),
     )
 
 
@@ -152,7 +153,7 @@ def _make_kernel(es: EngineEnvKernelSpec, tile: int | None) -> LaneEnvKernel:
         v_out = tuple(vv + (aa / 6.0) * h for vv, aa in zip(v, acc_a))
         return q_out, v_out
 
-    def env_step(q, v, t, ctrl, hs_read, ws_read):
+    def env_step(q, v, t, ctrl, hs_read, ws_read, goal=None):
         x0, y0 = q[0], q[1]
 
         def body(_, carry):
@@ -167,7 +168,7 @@ def _make_kernel(es: EngineEnvKernelSpec, tile: int | None) -> LaneEnvKernel:
         inner = np.float32(es.fwd_weight) * forward - cost
         t = t + 1
         px, py, pz = _head_anchor(es, q)
-        outer, term = goal_heads(es, px, py, pz)
+        outer, term = goal_heads(es, px, py, pz, goal=goal)
         reward = np.float32(es.inner_scale) * inner + outer
         trunc = t >= es.episode_limit
         return q, v, t, reward, term, trunc
@@ -182,6 +183,7 @@ def _make_kernel(es: EngineEnvKernelSpec, tile: int | None) -> LaneEnvKernel:
         smem_tables=(hs_tab, ws_tab),
         default_tile=tile or 256,
         compiler_params=_VMEM_LIMIT,
+        n_goal=len(es.goal_valid) if es.dynamic_goals else 0,
     )
 
 

@@ -50,21 +50,33 @@ def normal(shape):
     )
 
 
-def goal_heads(es, px, py, po=None):
+def goal_heads(es, px, py, po=None, goal=None):
     """Task heads on the (x, y[, ori/z]) observation prefix.
 
     ``es`` carries the lowered goal arrays (goal_pos/dim_mask/threshold/
     scale/valid + reward_type/penalty/scale): returns ``(outer_reward,
     terminated)`` with the reference's first-hit-wins goal ordering.
     ``po`` is the optional third masked component (Point ori, Ant z).
+
+    ``goal`` carries per-env goal positions for ``sample_goals()`` tasks
+    (the resampling hook the reference left latent, maze_task.py:375-376):
+    a tuple of ``(gx, gy, gz)`` lane-vector triples, one per goal, which
+    replace the baked ``es.goal_pos`` constants; dim masks / thresholds /
+    scales / validity stay static (they are structural task data).
     """
     def comps(gi):
-        gp, dm = es.goal_pos[gi], es.goal_dim_mask[gi]
-        ddx = (px - np.float32(gp[0])) * np.float32(dm[0])
-        ddy = (py - np.float32(gp[1])) * np.float32(dm[1])
+        dm = es.goal_dim_mask[gi]
+        if goal is not None:
+            gx, gy, gz = goal[gi]
+        else:
+            gp = es.goal_pos[gi]
+            gx, gy, gz = (np.float32(gp[0]), np.float32(gp[1]),
+                          np.float32(gp[2]))
+        ddx = (px - gx) * np.float32(dm[0])
+        ddy = (py - gy) * np.float32(dm[1])
         d2 = ddx * ddx + ddy * ddy
         if po is not None:
-            ddo = (po - np.float32(gp[2])) * np.float32(dm[2])
+            ddo = (po - gz) * np.float32(dm[2])
             d2 = d2 + ddo * ddo
         return d2
 
@@ -115,6 +127,13 @@ class LaneEnvKernel:
         receives one scalar-read callable per table (``lambda i: ref[i]``).
     default_tile : lane tile; halved externally for VMEM-heavy worlds.
     compiler_params : optional ``pltpu.CompilerParams`` (VMEM limits).
+    n_goal : when > 0, ``build_step`` takes an extra per-env goal operand
+        ``goal (B, n_goal, 3)`` carried as ``3*n_goal`` lane rows, and
+        ``env_step`` is called with ``goal=((gx, gy, gz), ...)`` lane
+        triples — the ``sample_goals()`` fast path (``build_rollout`` has
+        no goal operand: in-kernel auto-reset cannot run a task's
+        arbitrary ``sample_goal_positions`` law, so goal-sampling tasks
+        ride ``build_step`` with resets folded in XLA).
     """
 
     def __init__(
@@ -128,6 +147,7 @@ class LaneEnvKernel:
         smem_tables: Sequence[jnp.ndarray] = (),
         default_tile: int = 1024,
         compiler_params: Optional[object] = None,
+        n_goal: int = 0,
     ) -> None:
         self.nq, self.nv, self.nu = nq, nv, nu
         self.env_step = env_step
@@ -136,6 +156,7 @@ class LaneEnvKernel:
         self.smem_tables = tuple(smem_tables)
         self.default_tile = default_tile
         self.compiler_params = compiler_params
+        self.n_goal = n_goal
 
     # ------------------------------------------------------------------
     def _call(self, kernel, in_rows, out_rows, out_dtypes, num_envs, tile,
@@ -238,9 +259,11 @@ class LaneEnvKernel:
         differential-testing surface and the public batched-API fast
         path (``BatchedMazeEnv._build_fast_step``)."""
         tile, interpret = self._resolve(num_envs, tile, interpret)
-        nq, nv, nu = self.nq, self.nv, self.nu
+        nq, nv, nu, ng = self.nq, self.nv, self.nu, self.n_goal
 
         def kernel(qpos_ref, qvel_ref, t_ref, act_ref, *refs):
+            if ng > 0:
+                goal_ref, refs = refs[0], refs[1:]
             smem_refs = refs[: len(self.smem_tables)]
             out_qpos, out_qvel, out_t, out_rew, out_term = refs[
                 len(self.smem_tables):]
@@ -251,8 +274,13 @@ class LaneEnvKernel:
             v = tuple(qvel_ref[i, :] for i in range(nv))
             t = t_ref[0, :]
             ctrl = tuple(act_ref[i, :] for i in range(nu))
+            kwargs = {}
+            if ng > 0:
+                kwargs["goal"] = tuple(
+                    tuple(goal_ref[3 * g + c, :] for c in range(3))
+                    for g in range(ng))
             q, v, t, reward, term, trunc = self.env_step(
-                q, v, t, ctrl, *reads)
+                q, v, t, ctrl, *reads, **kwargs)
             for i in range(nq):
                 out_qpos[i, :] = q[i]
             for i in range(nv):
@@ -263,7 +291,7 @@ class LaneEnvKernel:
 
         call = self._call(
             kernel,
-            in_rows=[nq, nv, 1, nu],
+            in_rows=[nq, nv, 1, nu] + ([3 * ng] if ng > 0 else []),
             out_rows=[nq, nv, 1, 1, 1],
             out_dtypes=[jnp.float32, jnp.float32, jnp.int32, jnp.float32,
                         jnp.bool_],
@@ -271,6 +299,21 @@ class LaneEnvKernel:
             interpret=interpret,
         )
         tables = self.smem_tables
+
+        if ng > 0:
+            @jax.jit
+            def step(qpos, qvel, t, actions, goal):
+                qp, qv, tt, rew, term = call(
+                    qpos.T.astype(jnp.float32),
+                    qvel.T.astype(jnp.float32),
+                    t[None, :].astype(jnp.int32),
+                    actions.T.astype(jnp.float32),
+                    goal.reshape(goal.shape[0], 3 * ng).T.astype(jnp.float32),
+                    *tables,
+                )
+                return qp.T, qv.T, tt[0], rew[0], term[0]
+
+            return step
 
         @jax.jit
         def step(qpos, qvel, t, actions):

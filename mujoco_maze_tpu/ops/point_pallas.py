@@ -94,6 +94,9 @@ class PointKernelSpec(NamedTuple):
     # z/spin-block worlds keep the approximate lanes path (None here)
     object_spec: tuple = None          # ObjectLanesSpec
     object_dof_idx: tuple = ()         # absolute lane indices, solver order
+    # sample_goals() task: the step kernel carries per-env goal positions
+    # as lane rows instead of baking es.goal_pos constants
+    dynamic_goals: bool = False
 
 
 def spec_from_env(spec) -> PointKernelSpec:
@@ -159,6 +162,7 @@ def spec_from_env(spec) -> PointKernelSpec:
         n_world=int(spec.nq - 3),
         object_spec=object_lanes.spec_from_env(spec),
         object_dof_idx=tuple(spec._object_dof_idx()),
+        dynamic_goals=bool(spec.task.sample_goals()),
     )
 
 
@@ -383,7 +387,7 @@ def _first_object_pos(ks: PointKernelSpec, q):
     return px, py, pz
 
 
-def _step_math(ks: PointKernelSpec, q, v, t, ax, ar):
+def _step_math(ks: PointKernelSpec, q, v, t, ax, ar, goal=None):
     """One env step on (TB,)-shaped lanes-resident vectors.
 
     Mirror of MazeEnvSpec._step_manual (float32 path) for the Point robot:
@@ -565,9 +569,9 @@ def _step_math(ks: PointKernelSpec, q, v, t, ax, ar):
     # center when OBS_OFFSET == 3 (BlockCarry/Billiard semantics)
     if ks.obs_offset == 3:
         hx, hy, hz = _first_object_pos(ks, (x, y, ori2) + q_world)
-        reward, terminated = goal_heads(ks, hx, hy, hz)
+        reward, terminated = goal_heads(ks, hx, hy, hz, goal=goal)
     else:
-        reward, terminated = goal_heads(ks, x, y, ori2)
+        reward, terminated = goal_heads(ks, x, y, ori2, goal=goal)
     truncated = t >= ks.episode_limit
     return ((x, y, ori2) + q_world, (vx, vy, vr) + v_world,
             t, reward, terminated, truncated)
@@ -581,9 +585,9 @@ def _make_kernel(ks: PointKernelSpec,
         # VMEM as (R, tile) blocks — cap the tile so they fit
         default_tile = min(default_tile, 512)
 
-    def env_step(q, v, t, ctrl):
+    def env_step(q, v, t, ctrl, goal=None):
         ax, ar = ctrl
-        return _step_math(ks, q, v, t, ax, ar)
+        return _step_math(ks, q, v, t, ax, ar, goal=goal)
 
     def sample_ctrl(tile):
         # Point action box: forward gain in ±1, rotation delta in ±0.25
@@ -610,6 +614,7 @@ def _make_kernel(ks: PointKernelSpec,
     return LaneEnvKernel(
         nq_total, nq_total, 2, env_step, sample_ctrl, sample_reset,
         default_tile=default_tile,
+        n_goal=len(ks.goal_valid) if ks.dynamic_goals else 0,
     )
 
 

@@ -50,6 +50,7 @@ class SwimmerEnvKernelSpec(NamedTuple):
     frame_skip: int
     episode_limit: int
     n_world: int = 0           # pass-through world dofs (blocks/balls)
+    dynamic_goals: bool = False  # sample_goals() task: goal lane operand
 
 
 def spec_from_env(spec) -> SwimmerEnvKernelSpec:
@@ -75,6 +76,7 @@ def spec_from_env(spec) -> SwimmerEnvKernelSpec:
         frame_skip=int(spec.robot.frame_skip),
         episode_limit=1000,
         n_world=int(spec.nq - spec.robot.nq),
+        dynamic_goals=bool(spec.task.sample_goals()),
     )
 
 
@@ -85,7 +87,7 @@ def _make_kernel(es: SwimmerEnvKernelSpec) -> LaneEnvKernel:
     nu = ks.n_act
     dt_outer = np.float32(ks.timestep * es.frame_skip)
 
-    def env_step(q_full, v_full, t, ctrl):
+    def env_step(q_full, v_full, t, ctrl, goal=None):
         """One outer env step (frame_skip RK4 + env layer); world dofs
         (q_full[nq:]) are pass-through — the swimmer path has no
         robot↔object coupling (MazeEnvSpec._step_dynamic parity)."""
@@ -105,7 +107,7 @@ def _make_kernel(es: SwimmerEnvKernelSpec) -> LaneEnvKernel:
         # elevated Fall/MultiFall worlds (a reference quirk the XLA path
         # replicates; round-4 registry sweep caught the kernel dropping it:
         # SwimmerFall reward err 2.28)
-        outer, term = goal_heads(es, q[0], q[1], q[2])
+        outer, term = goal_heads(es, q[0], q[1], q[2], goal=goal)
         reward = np.float32(es.inner_scale) * inner + outer
         trunc = t >= es.episode_limit
         return (tuple(q) + q_full[nq:], tuple(v) + v_full[nq:],
@@ -134,6 +136,7 @@ def _make_kernel(es: SwimmerEnvKernelSpec) -> LaneEnvKernel:
     return LaneEnvKernel(
         nq_total, nq_total, nu, env_step, sample_ctrl, sample_reset,
         default_tile=1024,
+        n_goal=len(es.goal_valid) if es.dynamic_goals else 0,
     )
 
 

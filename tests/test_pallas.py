@@ -228,3 +228,58 @@ def test_batched_fast_step_ant_smoke():
     assert np.isfinite(np.asarray(res.reward)).all()
     assert "reward_forward" in res.info and "reward_ctrl" in res.info
     assert res.obs.shape == (B, 30)
+
+
+def test_goal_sampling_step_kernel_matches_xla():
+    """sample_goals() tasks ride the fast path: the step kernel carries a
+    per-env (G, 3) goal operand (ops/__init__.py make_fast_step) and must
+    match the XLA heads at per-env sampled goals — the last fast-path
+    exclusion (round-4 verdict, missing #2)."""
+    from mujoco_maze_tpu.envs.batched import BatchedMazeEnv
+    from mujoco_maze_tpu.envs.env import MazeEnvSpec
+    from mujoco_maze_tpu.models.point import PointRobot
+    from mujoco_maze_tpu.tasks.library import TaskRegistry
+
+    GoalRewardUMaze = TaskRegistry.tasks("UMaze")[0]
+
+    class ResampledUMaze(GoalRewardUMaze):
+        def sample_goals(self):
+            return True
+
+        def sample_goal_positions(self, key):
+            xy = jax.random.uniform(key, (2,), minval=-2.0, maxval=10.0)
+            return jnp.concatenate([xy, jnp.zeros(1)])[None, :]  # (1, 3)
+
+    B = 64
+    spec = MazeEnvSpec(PointRobot(), ResampledUMaze, maze_size_scaling=4.0)
+    ref = BatchedMazeEnv(spec, num_envs=B, auto_reset=False)
+    fast = BatchedMazeEnv(spec, num_envs=B, auto_reset=False,
+                          fast_step=True)
+    assert fast._fast is not None, "goal-sampling fast step should build"
+    state, obs0 = ref.reset(jax.random.PRNGKey(0))
+    fstate, fobs0 = fast.reset(jax.random.PRNGKey(0))
+    assert state.goal_pos is not None and state.goal_pos.shape == (B, 1, 3)
+    np.testing.assert_allclose(np.asarray(obs0), np.asarray(fobs0))
+    rng = np.random.RandomState(1)
+    for it in range(3):
+        actions = jnp.asarray(
+            rng.uniform(-1, 1, (B, 2)) * [1.0, 0.25], jnp.float32)
+        r1 = ref.step(state, actions)
+        r2 = fast.step(fstate, actions)
+        np.testing.assert_allclose(
+            np.asarray(r2.state.qpos), np.asarray(r1.state.qpos), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(r2.reward), np.asarray(r1.reward), atol=1e-4)
+        assert bool((r2.terminated == r1.terminated).all())
+        state, fstate = r1.state, r2.state
+    # the goal actually gates termination: teleport env 0 onto its goal
+    gx = state.goal_pos[:, 0, 0]
+    gy = state.goal_pos[:, 0, 1]
+    qp = state.qpos.at[:, 0].set(gx).at[:, 1].set(gy)
+    tstate = state._replace(qpos=qp)
+    r1 = ref.step(tstate, jnp.zeros((B, 2), jnp.float32))
+    r2 = fast.step(tstate._replace(), jnp.zeros((B, 2), jnp.float32))
+    assert bool(np.asarray(r1.terminated).all())
+    assert bool((np.asarray(r2.terminated) == np.asarray(r1.terminated)).all())
+    np.testing.assert_allclose(
+        np.asarray(r2.reward), np.asarray(r1.reward), atol=1e-4)
