@@ -33,6 +33,14 @@ from .swimmer_math import (  # generic n×n unrolled lane Cholesky
 
 SQRT2INV = 1.0 / np.sqrt(2.0)
 
+
+# Trace-time constant folding (see ops/_fold.py): floor-row normals are
+# exactly (0,0,1) with constant tangent frames, linear-dof Jacobian entries
+# are basis vectors, body inertias are model constants — the contact
+# machinery dominated the round-4 instruction count (~145K of 187K traced
+# ops in row assembly + the Jacobi solver), and much of it folds.
+from ._fold import cadd, cdiv, cmul, cneg, csub, is_const
+
 # (sx, sy) per leg, ankle axis (ax, ay) unnormalized — models/ant.py legs
 LEGS = [
     (+1.0, +1.0, -1.0, +1.0),
@@ -79,27 +87,31 @@ def consts_from_model(model) -> AntConsts:
 
 
 class Vec3(NamedTuple):
+    """Lane-scalar 3-vector; components may be python floats (trace-time
+    constants) — all operations fold them via cmul/cadd."""
+
     x: object
     y: object
     z: object
 
     def __add__(self, o):
-        return Vec3(self.x + o.x, self.y + o.y, self.z + o.z)
+        return Vec3(cadd(self.x, o.x), cadd(self.y, o.y), cadd(self.z, o.z))
 
     def __sub__(self, o):
-        return Vec3(self.x - o.x, self.y - o.y, self.z - o.z)
+        return Vec3(csub(self.x, o.x), csub(self.y, o.y), csub(self.z, o.z))
 
     def scale(self, s):
-        return Vec3(self.x * s, self.y * s, self.z * s)
+        return Vec3(cmul(self.x, s), cmul(self.y, s), cmul(self.z, s))
 
     def dot(self, o):
-        return self.x * o.x + self.y * o.y + self.z * o.z
+        return cadd(cadd(cmul(self.x, o.x), cmul(self.y, o.y)),
+                    cmul(self.z, o.z))
 
     def cross(self, o):
         return Vec3(
-            self.y * o.z - self.z * o.y,
-            self.z * o.x - self.x * o.z,
-            self.x * o.y - self.y * o.x,
+            csub(cmul(self.y, o.z), cmul(self.z, o.y)),
+            csub(cmul(self.z, o.x), cmul(self.x, o.z)),
+            csub(cmul(self.x, o.y), cmul(self.y, o.x)),
         )
 
 
@@ -112,31 +124,34 @@ class Mat3(NamedTuple):
 
     def mul_vec(self, v: Vec3) -> Vec3:
         return Vec3(
-            self.xx * v.x + self.xy * v.y + self.xz * v.z,
-            self.yx * v.x + self.yy * v.y + self.yz * v.z,
-            self.zx * v.x + self.zy * v.y + self.zz * v.z,
+            cadd(cadd(cmul(self.xx, v.x), cmul(self.xy, v.y)),
+                 cmul(self.xz, v.z)),
+            cadd(cadd(cmul(self.yx, v.x), cmul(self.yy, v.y)),
+                 cmul(self.yz, v.z)),
+            cadd(cadd(cmul(self.zx, v.x), cmul(self.zy, v.y)),
+                 cmul(self.zz, v.z)),
         )
 
     def tmul_vec(self, v: Vec3) -> Vec3:
         return Vec3(
-            self.xx * v.x + self.yx * v.y + self.zx * v.z,
-            self.xy * v.x + self.yy * v.y + self.zy * v.z,
-            self.xz * v.x + self.yz * v.y + self.zz * v.z,
+            cadd(cadd(cmul(self.xx, v.x), cmul(self.yx, v.y)),
+                 cmul(self.zx, v.z)),
+            cadd(cadd(cmul(self.xy, v.x), cmul(self.yy, v.y)),
+                 cmul(self.zy, v.z)),
+            cadd(cadd(cmul(self.xz, v.x), cmul(self.yz, v.y)),
+                 cmul(self.zz, v.z)),
         )
 
     def mul(self, o: "Mat3") -> "Mat3":
         a = self
-        return Mat3(
-            a.xx * o.xx + a.xy * o.yx + a.xz * o.zx,
-            a.xx * o.xy + a.xy * o.yy + a.xz * o.zy,
-            a.xx * o.xz + a.xy * o.yz + a.xz * o.zz,
-            a.yx * o.xx + a.yy * o.yx + a.yz * o.zx,
-            a.yx * o.xy + a.yy * o.yy + a.yz * o.zy,
-            a.yx * o.xz + a.yy * o.yz + a.yz * o.zz,
-            a.zx * o.xx + a.zy * o.yx + a.zz * o.zx,
-            a.zx * o.xy + a.zy * o.yy + a.zz * o.zy,
-            a.zx * o.xz + a.zy * o.yz + a.zz * o.zz,
-        )
+        return Mat3(*[
+            cadd(cadd(cmul(ar[0], oc[0]), cmul(ar[1], oc[1])),
+                 cmul(ar[2], oc[2]))
+            for ar in ((a.xx, a.xy, a.xz), (a.yx, a.yy, a.yz),
+                       (a.zx, a.zy, a.zz))
+            for oc in ((o.xx, o.yx, o.zx), (o.xy, o.yy, o.zy),
+                       (o.xz, o.yz, o.zz))
+        ])
 
     def col(self, j: int) -> Vec3:
         return (
@@ -191,10 +206,7 @@ def fk_ant(ac: AntConsts, q) -> AntFK:
     for l, (sx, sy, ax_, ay_) in enumerate(LEGS):
         h = q[7 + 2 * l]
         a = q[8 + 2 * l]
-        d = Vec3(
-            jnp.full_like(x, 0.2 * sx), jnp.full_like(x, 0.2 * sy),
-            jnp.zeros_like(x),
-        )
+        d = Vec3(0.2 * sx, 0.2 * sy, 0.0)  # trace-time const, folds in FK
         # leg body: welded to torso (identity offset)
         R.append(R0)
         pos.append(p0)
@@ -208,10 +220,7 @@ def fk_ant(ac: AntConsts, q) -> AntFK:
         pos.append(p_aux)
         # foot body: offset d in aux frame, ankle hinge about (ax, ay, 0)/√2
         anchor_a = p_aux + R_aux.mul_vec(d)
-        axis_local = Vec3(
-            jnp.full_like(x, ax_ * SQRT2INV), jnp.full_like(x, ay_ * SQRT2INV),
-            jnp.zeros_like(x),
-        )
+        axis_local = Vec3(ax_ * SQRT2INV, ay_ * SQRT2INV, 0.0)
         w_a = R_aux.mul_vec(axis_local)
         Ra = axis_angle_mat3(w_a, a)
         R_foot = Ra.mul(R_aux)
@@ -225,9 +234,7 @@ def fk_ant(ac: AntConsts, q) -> AntFK:
     com = []
     for k in range(13):
         c = ac.coms[k]
-        cl = Vec3(
-            jnp.full_like(x, c[0]), jnp.full_like(x, c[1]), jnp.full_like(x, c[2])
-        )
+        cl = Vec3(float(c[0]), float(c[1]), float(c[2]))
         com.append(pos[k] + R[k].mul_vec(cl))
     return AntFK(R, pos, com, hip_axis, hip_anchor, ankle_axis, ankle_anchor)
 
@@ -252,24 +259,26 @@ def _dofs_of_body(k: int):
 
 
 def _zero3(like):
-    z = jnp.zeros_like(like)
-    return Vec3(z, z, z)
+    return Vec3(0.0, 0.0, 0.0)
+
+
+_EX = Vec3(1.0, 0.0, 0.0)
+_EY = Vec3(0.0, 1.0, 0.0)
+_EZ = Vec3(0.0, 0.0, 1.0)
 
 
 def body_dof_jacobians(fk: AntFK, k: int, point: Vec3):
     """(W_d, J_d) per dof d for the velocity of ``point`` on body k.
 
     W_d: world angular basis (Vec3 or None); J_d: linear velocity basis.
-    """
-    like = point.x
+    Linear-dof entries are trace-time constant basis vectors (fold in
+    downstream dot products)."""
     out = {}
     R0 = fk.R[0]
     p0 = fk.pos[0]
-    one = jnp.ones_like(like)
-    zero = jnp.zeros_like(like)
-    out[0] = (None, Vec3(one, zero, zero))
-    out[1] = (None, Vec3(zero, one, zero))
-    out[2] = (None, Vec3(zero, zero, one))
+    out[0] = (None, _EX)
+    out[1] = (None, _EY)
+    out[2] = (None, _EZ)
     rel0 = point - p0
     for j in range(3):
         w = R0.col(j)
@@ -286,26 +295,26 @@ def body_dof_jacobians(fk: AntFK, k: int, point: Vec3):
     return out
 
 
+def _world_inertia(ac: AntConsts, fk: AntFK, k: int) -> Mat3:
+    """Iw = R Ic Rᵀ with Ic a trace-time constant Mat3 (zero entries of
+    the model inertia fold out of both mat muls)."""
+    Ic = ac.inertias[k]
+    R = fk.R[k]
+    Icm = Mat3(*[float(Ic[r, c]) for r in range(3) for c in range(3)])
+    return R.mul(Icm).mul(
+        Mat3(R.xx, R.yx, R.zx, R.xy, R.yy, R.zy, R.xz, R.yz, R.zz)
+    )
+
+
 def mass_matrix(ac: AntConsts, fk: AntFK):
-    """14x14 list-of-lists of lane scalars (Jacobian form)."""
-    like = fk.pos[0].x
+    """14x14 list-of-lists of lane scalars (Jacobian form).  Entries may be
+    python floats (trace-time constants — e.g. the linear-linear block is
+    the constant total mass)."""
     n = 14
-    M = [[None] * n for _ in range(n)]
-    for i in range(n):
-        for j in range(n):
-            M[i][j] = jnp.zeros_like(like)
+    M = [[0.0] * n for _ in range(n)]
     for k in range(13):
         m = float(ac.masses[k])
-        # world inertia Iw = R Ic Rᵀ
-        Ic = ac.inertias[k]
-        R = fk.R[k]
-        Icm = Mat3(*[
-            float(Ic[r, c]) * jnp.ones_like(like)
-            for r in range(3) for c in range(3)
-        ])
-        Iw = R.mul(Icm).mul(
-            Mat3(R.xx, R.yx, R.zx, R.xy, R.yy, R.zy, R.xz, R.yz, R.zz)
-        )
+        Iw = _world_inertia(ac, fk, k)
         jac = body_dof_jacobians(fk, k, fk.com[k])
         dofs = _dofs_of_body(k)
         cache = {}
@@ -317,28 +326,22 @@ def mass_matrix(ac: AntConsts, fk: AntFK):
             W1, J1, IwW1 = cache[d1]
             for d2 in dofs[ii:]:
                 W2, J2, _ = cache[d2]
-                term = J1.dot(J2) * m
+                term = cmul(J1.dot(J2), m)
                 if W1 is not None and W2 is not None:
-                    term = term + W2.dot(IwW1)
+                    term = cadd(term, W2.dot(IwW1))
                 lo, hi = min(d1, d2), max(d1, d2)
-                M[lo][hi] = M[lo][hi] + term
+                M[lo][hi] = cadd(M[lo][hi], term)
     for i in range(n):
-        M[i][i] = M[i][i] + float(ac.armature[i])
+        M[i][i] = cadd(M[i][i], float(ac.armature[i]))
         for j in range(i):
             M[i][j] = M[j][i]
     return M
 
 
 def _motion_cross(w1: Vec3, v1: Vec3, w2: Vec3, v2: Vec3):
-    """Spatial motion cross [(w1,v1) ×ₘ (w2,v2)] (engine parity)."""
-    return (
-        w1.cross(w2),
-        Vec3(
-            w1.y * v2.z - w1.z * v2.y + v1.y * w2.z - v1.z * w2.y,
-            w1.z * v2.x - w1.x * v2.z + v1.z * w2.x - v1.x * w2.z,
-            w1.x * v2.y - w1.y * v2.x + v1.x * w2.y - v1.y * w2.x,
-        ),
-    )
+    """Spatial motion cross [(w1,v1) ×ₘ (w2,v2)] (engine parity):
+    (w1×w2, w1×v2 + v1×w2), with trace-time constants folding."""
+    return (w1.cross(w2), w1.cross(v2) + v1.cross(w2))
 
 
 def rne_bias(ac: AntConsts, fk: AntFK, v):
@@ -350,13 +353,12 @@ def rne_bias(ac: AntConsts, fk: AntFK, v):
     R0 = fk.R[0]
     p0 = fk.pos[0]
 
-    # cdof rows (world origin): (omega_dir, vel_dir)
+    # cdof rows (world origin): (omega_dir, vel_dir); linear rows are
+    # trace-time constant basis vectors
     cdof = {}
-    one = jnp.ones_like(like)
-    z = jnp.zeros_like(like)
-    cdof[0] = (zero3, Vec3(one, z, z))
-    cdof[1] = (zero3, Vec3(z, one, z))
-    cdof[2] = (zero3, Vec3(z, z, one))
+    cdof[0] = (zero3, _EX)
+    cdof[1] = (zero3, _EY)
+    cdof[2] = (zero3, _EZ)
     for j in range(3):
         a = R0.col(j)
         cdof[3 + j] = (a, p0.cross(a))
@@ -368,14 +370,12 @@ def rne_bias(ac: AntConsts, fk: AntFK, v):
 
     # torso velocity + free-joint cdofdot (engine rules: lin rows zero;
     # angular rows use the body's FULL velocity)
-    v_lin_partial = Vec3(vx, vy, vz)
     w_torso = zero3
+    v_lin = Vec3(vx, vy, vz)
     for j in range(3):
         w_torso = w_torso + cdof[3 + j][0].scale(v[3 + j])
-    v_torso = (w_torso, v_lin_partial + Vec3(*[
-        sum(cdof[3 + j][1].__getattribute__(ax) * v[3 + j] for j in range(3))
-        for ax in ("x", "y", "z")
-    ]))
+        v_lin = v_lin + cdof[3 + j][1].scale(v[3 + j])
+    v_torso = (w_torso, v_lin)
     cdofdot = {0: (zero3, zero3), 1: (zero3, zero3), 2: (zero3, zero3)}
     for j in range(3):
         cdofdot[3 + j] = _motion_cross(*v_torso, *cdof[3 + j])
@@ -394,7 +394,7 @@ def rne_bias(ac: AntConsts, fk: AntFK, v):
 
     # cacc per body: a0 = (0, +g ẑ) [fictitious base acc], plus cdofdot·qdot
     g = float(ac.gravity)
-    a0 = (zero3, Vec3(z, z, jnp.full_like(like, g)))
+    a0 = (zero3, Vec3(0.0, 0.0, g))
     cacc = [None] * 13
     torso_acc = a0
     for j in range(3):
@@ -422,15 +422,7 @@ def rne_bias(ac: AntConsts, fk: AntFK, v):
         alpha, a_lin = mot
         m = float(ac.masses[k])
         c = fk.com[k]
-        Ic = ac.inertias[k]
-        R = fk.R[k]
-        Icm = Mat3(*[
-            float(Ic[r, cidx]) * jnp.ones_like(like)
-            for r in range(3) for cidx in range(3)
-        ])
-        Iw = R.mul(Icm).mul(
-            Mat3(R.xx, R.yx, R.zx, R.xy, R.yy, R.zy, R.xz, R.yz, R.zz)
-        )
+        Iw = _world_inertia(ac, fk, k)
         # Io α = Iw α + m c × (c × α) ... Io = Iw − m c× c× (world, origin)
         IwA = Iw.mul_vec(alpha)
         moment = IwA - c.cross(c.cross(alpha)).scale(m) + c.cross(a_lin).scale(m)
@@ -460,15 +452,15 @@ def rne_bias(ac: AntConsts, fk: AntFK, v):
     bias = [None] * 14
     for d in range(6):
         wdir, vdir = cdof[d]
-        bias[d] = wdir.dot(sub[0][0]) + vdir.dot(sub[0][1])
+        bias[d] = cadd(wdir.dot(sub[0][0]), vdir.dot(sub[0][1]))
     for l in range(4):
         b = _leg_bodies(l)
         f_aux = (sub[b[1]][0], sub[b[1]][1])   # aux subtree (aux + foot)
         f_foot = (cfrc[b[2]][0], cfrc[b[2]][1])
         wdir, vdir = cdof[6 + 2 * l]
-        bias[6 + 2 * l] = wdir.dot(f_aux[0]) + vdir.dot(f_aux[1])
+        bias[6 + 2 * l] = cadd(wdir.dot(f_aux[0]), vdir.dot(f_aux[1]))
         wdir, vdir = cdof[7 + 2 * l]
-        bias[7 + 2 * l] = wdir.dot(f_foot[0]) + vdir.dot(f_foot[1])
+        bias[7 + 2 * l] = cadd(wdir.dot(f_foot[0]), vdir.dot(f_foot[1]))
     return bias
 
 
@@ -650,15 +642,16 @@ def _ball_kin(bl: AntBall, q):
 def _ball_jac_entries(bl: AntBall, pos: Vec3, R: Mat3, point: Vec3,
                       direction: Vec3, sign: float):
     """Sparse J entries of ``direction`` at ``point`` for the ball's 6 dofs
-    (linear world axes, angular body axes — engine free-joint convention)."""
+    (linear world axes, angular body axes — engine free-joint convention).
+    Angular entries use the triple-product form (w×rel)·dir = w·(rel×dir)
+    so the cross is computed once, not per dof."""
     out = {}
-    out[bl.vadr + 0] = sign * direction.x
-    out[bl.vadr + 1] = sign * direction.y
-    out[bl.vadr + 2] = sign * direction.z
-    rel = point - pos
+    out[bl.vadr + 0] = cmul(sign, direction.x)
+    out[bl.vadr + 1] = cmul(sign, direction.y)
+    out[bl.vadr + 2] = cmul(sign, direction.z)
+    c = (point - pos).cross(direction)
     for k in range(3):
-        w = R.col(k)
-        out[bl.vadr + 3 + k] = sign * w.cross(rel).dot(direction)
+        out[bl.vadr + 3 + k] = cmul(sign, R.col(k).dot(c))
     return out
 
 
@@ -673,18 +666,17 @@ def _ball_mass_block(bl: AntBall, pos: Vec3, R: Mat3, com_w: Vec3, like):
     # I_w = R (I_iso·1) Rᵀ = I_iso·1 for the isotropic ball inertia
     Ws = [R.col(k) for k in range(3)]
     Js_ang = [w.cross(com_w - pos) for w in Ws]
-    one = jnp.ones_like(like)
-    zero = jnp.zeros_like(like)
-    es = [Vec3(one, zero, zero), Vec3(zero, one, zero), Vec3(zero, zero, one)]
-    M = [[zero for _ in range(6)] for _ in range(6)]
+    es = [_EX, _EY, _EZ]
+    M = [[0.0 for _ in range(6)] for _ in range(6)]
     for i in range(3):
-        M[i][i] = m * one
+        M[i][i] = float(m)
         for j in range(3):
-            M[i][3 + j] = m * Js_ang[j].dot(es[i])
+            M[i][3 + j] = cmul(m, Js_ang[j].dot(es[i]))
             M[3 + j][i] = M[i][3 + j]
     for i in range(3):
         for j in range(i, 3):
-            t = m * Js_ang[i].dot(Js_ang[j]) + I_iso * Ws[j].dot(Ws[i])
+            t = cadd(cmul(m, Js_ang[i].dot(Js_ang[j])),
+                     cmul(I_iso, Ws[j].dot(Ws[i])))
             M[3 + i][3 + j] = t
             M[3 + j][3 + i] = t
     return M
@@ -694,15 +686,9 @@ def _ball_bias(bl: AntBall, pos: Vec3, R: Mat3, com_w: Vec3, v, gravity):
     """6 bias lanes (gravity + velocity products) of one free ball —
     mirror of the torso free-joint section of :func:`rne_bias`."""
     like = pos.x
-    zero = jnp.zeros_like(like)
     zero3 = _zero3(like)
-    one = jnp.ones_like(like)
     a = bl.vadr
-    cdof = [
-        (zero3, Vec3(one, zero, zero)),
-        (zero3, Vec3(zero, one, zero)),
-        (zero3, Vec3(zero, zero, one)),
-    ]
+    cdof = [(zero3, _EX), (zero3, _EY), (zero3, _EZ)]
     for k in range(3):
         w = R.col(k)
         cdof.append((w, pos.cross(w)))
@@ -714,7 +700,7 @@ def _ball_bias(bl: AntBall, pos: Vec3, R: Mat3, com_w: Vec3, v, gravity):
         v_lin = v_lin + cdof[3 + k][1].scale(v[a + 3 + k])
     v_ball = (w_b, v_lin)
     # cacc: fictitious base acc (0, +g ẑ) + body-fixed angular cdofdots
-    acc = (zero3, Vec3(zero, zero, jnp.full_like(like, gravity)))
+    acc = (zero3, Vec3(0.0, 0.0, gravity))
     for k in range(3):
         dcd = _motion_cross(*v_ball, *cdof[3 + k])
         acc = (acc[0] + dcd[0].scale(v[a + 3 + k]),
@@ -736,7 +722,7 @@ def _ball_bias(bl: AntBall, pos: Vec3, R: Mat3, com_w: Vec3, v, gravity):
     vxf = (v_ball[0].cross(Iv[0]) + v_ball[1].cross(Iv[1]),
            v_ball[0].cross(Iv[1]))
     f = (Ia[0] + vxf[0], Ia[1] + vxf[1])
-    return [wd.dot(f[0]) + vd.dot(f[1]) for wd, vd in cdof]
+    return [cadd(wd.dot(f[0]), vd.dot(f[1])) for wd, vd in cdof]
 
 
 def _sphere_aabb_nearest2(cx, cy, cz, r, box_center, box_half, box_margin):
@@ -756,7 +742,9 @@ def _sphere_aabb_nearest2(cx, cy, cz, r, box_center, box_half, box_margin):
         cly = jnp.clip(ly, -hy, hy)
         clz = jnp.clip(lz, -hz, hz)
         dxo, dyo, dzo = lx - clx, ly - cly, lz - clz
-        d_out = jnp.sqrt(dxo * dxo + dyo * dyo + dzo * dzo + 1e-12)
+        d2_out = dxo * dxo + dyo * dyo + dzo * dzo + 1e-12
+        inv_out = jax.lax.rsqrt(d2_out)
+        d_out = d2_out * inv_out
         outside = d_out > 1e-6
         ex = hx - jnp.abs(lx)
         ey = hy - jnp.abs(ly)
@@ -769,9 +757,9 @@ def _sphere_aabb_nearest2(cx, cy, cz, r, box_center, box_half, box_margin):
         niy = jnp.where(is_y, jnp.where(ly >= 0, 1.0, -1.0), 0.0)
         niz = jnp.where(is_z, jnp.where(lz >= 0, 1.0, -1.0), 0.0)
         dist = jnp.where(outside, d_out - r, -mmin - r)
-        nrm = Vec3(jnp.where(outside, dxo / d_out, nix),
-                   jnp.where(outside, dyo / d_out, niy),
-                   jnp.where(outside, dzo / d_out, niz))
+        nrm = Vec3(jnp.where(outside, dxo * inv_out, nix),
+                   jnp.where(outside, dyo * inv_out, niy),
+                   jnp.where(outside, dzo * inv_out, niz))
         p = Vec3(float(bc[0]) + jnp.where(outside, clx, lx - nix * (-mmin)),
                  float(bc[1]) + jnp.where(outside, cly, ly - niy * (-mmin)),
                  float(bc[2]) + jnp.where(outside, clz, lz - niz * (-mmin)))
@@ -814,8 +802,7 @@ def _ball_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q, centers):
     like = fk.pos[0].x
     rows = []
     kin = [(bl,) + _ball_kin(bl, q) for bl in aw.balls]
-    up = Vec3(jnp.zeros_like(like), jnp.zeros_like(like),
-              jnp.ones_like(like))
+    up = _EZ
     for bi, (bl, bpos, bR, bcom) in enumerate(kin):
         sol_b = (bl.solimp[0], bl.solimp[1], bl.solimp[2], bl.solref_tc,
                  bl.friction)
@@ -842,8 +829,10 @@ def _ball_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q, centers):
             rs = float(aw.sph_radius[s])
             c = centers[s]
             d = c - ctr
-            dn = jnp.sqrt(d.dot(d) + 1e-12)
-            n = d.scale(1.0 / dn)
+            d2 = d.dot(d) + 1e-12
+            inv = jax.lax.rsqrt(d2)
+            dn = d2 * inv
+            n = d.scale(inv)
             dist = dn - (rs + r)
             pos_c = ctr + n.scale(r + dist * 0.5)
             si = aw.sph_solimp[s]
@@ -859,8 +848,10 @@ def _ball_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q, centers):
         for bj in range(bi):
             bl2, _, _, bcom2 = kin[bj]
             d = bcom2 - ctr
-            dn = jnp.sqrt(d.dot(d) + 1e-12)
-            n = d.scale(1.0 / dn)  # points ball_i → ball_j (i first body)
+            d2 = d.dot(d) + 1e-12
+            inv = jax.lax.rsqrt(d2)
+            dn = d2 * inv
+            n = d.scale(inv)  # points ball_i → ball_j (i first body)
             dist = dn - (bl2.radius + bl.radius)
             pos_c = ctr + n.scale(bl.radius + dist * 0.5)
             sp = (0.5 * (bl.solimp[0] + bl2.solimp[0]),
@@ -893,8 +884,10 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
             jnp.full_like(like, float(lc[2])),
         )
         centers.append(fk.pos[k] + fk.R[k].mul_vec(lv))
-    # floor contacts
-    up = Vec3(jnp.zeros_like(like), jnp.zeros_like(like), jnp.ones_like(like))
+    # floor contacts: the normal/tangent frame is trace-time constant
+    # ((0,0,1)/(0,1,0)/(-1,0,0)) — J entries, A pairs and solver scatter
+    # terms for these rows fold substantially
+    up = _EZ
     for s, c in enumerate(centers):
         r = float(aw.sph_radius[s])
         dist = c.z - r
@@ -921,7 +914,9 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
             cly = jnp.clip(ly, -hy, hy)
             clz = jnp.clip(lz, -hz, hz)
             dxo, dyo, dzo = lx - clx, ly - cly, lz - clz
-            d_out = jnp.sqrt(dxo * dxo + dyo * dyo + dzo * dzo + 1e-12)
+            d2_out = dxo * dxo + dyo * dyo + dzo * dzo + 1e-12
+            inv_out = jax.lax.rsqrt(d2_out)
+            d_out = d2_out * inv_out
             outside = d_out > 1e-6
             ex = hx - jnp.abs(lx)
             ey = hy - jnp.abs(ly)
@@ -935,9 +930,9 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
             niz = jnp.where(is_z, jnp.where(lz >= 0, 1.0, -1.0), 0.0)
             dist = jnp.where(outside, d_out - r, -mmin - r)
             nrm = Vec3(
-                jnp.where(outside, dxo / d_out, nix),
-                jnp.where(outside, dyo / d_out, niy),
-                jnp.where(outside, dzo / d_out, niz),
+                jnp.where(outside, dxo * inv_out, nix),
+                jnp.where(outside, dyo * inv_out, niy),
+                jnp.where(outside, dzo * inv_out, niz),
             )
             p = Vec3(
                 bcx + jnp.where(outside, clx, lx - nix * (-mmin)),
@@ -956,11 +951,20 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
     NB = aw.n_near_boxes
     torso = fk.pos[0]
     INF = jnp.full_like(like, np.inf)
-    near = [
-        dict(d=INF, cx=like * 0, cy=like * 0, cz=like * 0,
-             hx=like * 0, hy=like * 0, hz=like * 0, m=like * 0)
-        for _ in range(NB)
-    ]
+    # wall boxes usually share half extents / margins (uniform maze cells):
+    # uniform fields are trace-time constants and drop out of the
+    # branch-free insertion chains entirely
+    all_fields = {
+        "cx": aw.box_center[:, 0], "cy": aw.box_center[:, 1],
+        "cz": aw.box_center[:, 2],
+        "hx": aw.box_half[:, 0], "hy": aw.box_half[:, 1],
+        "hz": aw.box_half[:, 2], "m": aw.box_margin,
+    }
+    uni = {k: float(vals[0]) for k, vals in all_fields.items()
+           if bool(np.all(vals == vals[0]))}
+    var_keys = [k for k in all_fields if k not in uni]
+    near = [dict(d=INF, **{k: like * 0 for k in var_keys})
+            for _ in range(NB)]
     for b in range(B):
         bc = aw.box_center[b]
         bh = aw.box_half[b]
@@ -968,14 +972,10 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
         dy = jnp.maximum(jnp.abs(torso.y - bc[1]) - bh[1], 0.0)
         dz = jnp.maximum(jnp.abs(torso.z - bc[2]) - bh[2], 0.0)
         d = dx * dx + dy * dy + dz * dz
-        cur = dict(
-            d=d,
-            cx=jnp.full_like(like, float(bc[0])), cy=jnp.full_like(like, float(bc[1])),
-            cz=jnp.full_like(like, float(bc[2])),
-            hx=jnp.full_like(like, float(bh[0])), hy=jnp.full_like(like, float(bh[1])),
-            hz=jnp.full_like(like, float(bh[2])),
-            m=jnp.full_like(like, float(aw.box_margin[b])),
-        )
+        cur = dict(d=d, **{
+            k: jnp.full_like(like, float(all_fields[k][b]))
+            for k in var_keys
+        })
         # insertion into the sorted near-list (branch-free)
         for slot in range(NB):
             better = cur["d"] < near[slot]["d"]
@@ -988,6 +988,8 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
                 for key in cur
             }
             near[slot] = new_slot
+    for slot in range(NB):
+        near[slot].update(uni)
     # per sphere vs each near box: sphere-AABB contact, keeping only the
     # two nearest per sphere (a sphere touches at most two boxes at a
     # corner) — branch-free min chains
@@ -1007,7 +1009,9 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
             dxo = lx - clx
             dyo = ly - cly
             dzo = lz - clz
-            d_out = jnp.sqrt(dxo * dxo + dyo * dyo + dzo * dzo + 1e-12)
+            d2_out = dxo * dxo + dyo * dyo + dzo * dzo + 1e-12
+            inv_out = jax.lax.rsqrt(d2_out)
+            d_out = d2_out * inv_out
             outside = d_out > 1e-6
             # inside: min-exit axis (branch-free)
             ex = nb["hx"] - jnp.abs(lx)
@@ -1024,9 +1028,9 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
             niy = jnp.where(is_y, sgny, 0.0)
             niz = jnp.where(is_z, sgnz, 0.0)
             dist = jnp.where(outside, d_out - r, -mmin - r)
-            nx = jnp.where(outside, dxo / d_out, nix)
-            ny = jnp.where(outside, dyo / d_out, niy)
-            nz = jnp.where(outside, dzo / d_out, niz)
+            nx = jnp.where(outside, dxo * inv_out, nix)
+            ny = jnp.where(outside, dyo * inv_out, niy)
+            nz = jnp.where(outside, dzo * inv_out, niz)
             px = nb["cx"] + jnp.where(outside, clx, lx - nix * (-mmin))
             py = nb["cy"] + jnp.where(outside, cly, ly - niy * (-mmin))
             pz = nb["cz"] + jnp.where(outside, clz, lz - niz * (-mmin))
@@ -1036,26 +1040,37 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
             for _, p, nrm, dist, marg in cand:
                 rows.append((body, p, nrm, dist, marg, (), (), None))
         else:
-            like0 = cand[0][0]
+            # uniform margins (the usual case: one wall-box class) make the
+            # margin-adjusted key equivalent to dist itself — the margin
+            # drops out of the selection chain as a trace-time constant
+            margs = [cd[4] for cd in cand]
+            uniform_marg = (all(is_const(m) for m in margs)
+                            and len({float(m) for m in margs}) == 1)
+            like0 = cand[0][3]
             INFc = jnp.full_like(like0, np.inf)
-            best = [INFc, _zero3(like0), _zero3(like0), like0 * 0, like0 * 0]
-            second = [INFc, _zero3(like0), _zero3(like0), like0 * 0, like0 * 0]
-            for eff, p, nrm, dist, marg in cand:
-                m_arr = (like0 * 0 + marg if isinstance(marg, jax.Array)
-                         else like0 * 0 + float(marg))
-                cur = [eff, p, nrm, dist, m_arr]
+
+            def pick(cond, a, b_):
+                if isinstance(a, Vec3):
+                    return Vec3(
+                        jnp.where(cond, a.x, b_.x),
+                        jnp.where(cond, a.y, b_.y),
+                        jnp.where(cond, a.z, b_.z),
+                    )
+                return jnp.where(cond, a, b_)
+
+            if uniform_marg:
+                entries = [[cd[3], cd[1], cd[2]] for cd in cand]
+            else:
+                entries = [[cd[0], cd[1], cd[2], cd[3],
+                            (like0 * 0 + cd[4] if isinstance(cd[4], jax.Array)
+                             else like0 * 0 + float(cd[4]))]
+                           for cd in cand]
+            best = [INFc] + [_zero3(like0) if isinstance(e, Vec3)
+                             else like0 * 0 for e in entries[0][1:]]
+            second = list(best)
+            for cur in entries:
                 b1 = cur[0] < best[0]
                 b2 = (~b1) & (cur[0] < second[0])
-
-                def pick(cond, a, b_):
-                    if isinstance(a, Vec3):
-                        return Vec3(
-                            jnp.where(cond, a.x, b_.x),
-                            jnp.where(cond, a.y, b_.y),
-                            jnp.where(cond, a.z, b_.z),
-                        )
-                    return jnp.where(cond, a, b_)
-
                 new_second = [
                     pick(b1, bb, pick(b2, cc, ss))
                     for bb, cc, ss in zip(best, cur, second)
@@ -1063,8 +1078,12 @@ def _contact_rows(ac: AntConsts, aw: AntWorld, fk: AntFK, q=None):
                 best = [pick(b1, cc, bb) for cc, bb in zip(cur, best)]
                 second = new_second
             for sel in (best, second):
-                rows.append((body, sel[1], sel[2], sel[3], sel[4], (), (),
-                             None))
+                if uniform_marg:
+                    rows.append((body, sel[1], sel[2], sel[0],
+                                 float(margs[0]), (), (), None))
+                else:
+                    rows.append((body, sel[1], sel[2], sel[3], sel[4],
+                                 (), (), None))
     return rows
 
 
@@ -1081,16 +1100,17 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
     NV = nv_total(aw)
     fk = fk_ant(ac, q)
     M = mass_matrix(ac, fk)
-    bias = [jnp.zeros_like(like) for _ in range(NV)]
+    bias = [0.0] * NV
     for d, b in enumerate(rne_bias(ac, fk, v)):
         bias[d] = b
-    # block dofs: gravity on z slides (pure translation, no vel products)
+    # block dofs: gravity on z slides (pure translation, no vel products);
+    # a trace-time constant — folds through qacc0 and the solver
     blk_inv = {}
     for bl in aw.blocks:
         for axis, d in zip(bl.axes, bl.vadr):
             blk_inv[d] = float(bl.inv_mass)
             if axis == 2:
-                bias[d] = jnp.full_like(like, float(ac.gravity) / bl.inv_mass)
+                bias[d] = float(ac.gravity) / bl.inv_mass
     # free object balls: 6x6 mass block + full gravity/gyroscopic bias
     ball_blocks = []  # (AntBall, M6, eye_cols6)
     for bl in aw.balls:
@@ -1106,21 +1126,21 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
     for bi, (bl, _, _) in enumerate(ball_blocks):
         for k in range(6):
             ball_of_dof[bl.vadr + k] = bi
-    tau = [jnp.zeros_like(like) for _ in range(NV)]
+    tau = [0.0] * NV
     for u in range(8):
         c = jnp.clip(ctrl[u], -ac.ctrl_hi, ac.ctrl_hi)
         dof = ac.act_dofadr[u]
-        tau[dof] = tau[dof] + float(ac.gear) * c
+        tau[dof] = cadd(tau[dof], float(ac.gear) * c)
     for d in range(14):
-        tau[d] = tau[d] - float(ac.damping[d]) * v[d]
+        tau[d] = csub(tau[d], cmul(float(ac.damping[d]), v[d]))
 
-    rhs0 = [tau[i] - bias[i] for i in range(14)]
+    rhs0 = [csub(tau[i], bias[i]) for i in range(14)]
     qacc0, L = chol_solve(M, rhs0)
-    qacc0 = list(qacc0) + [jnp.zeros_like(like) for _ in range(14, NV)]
+    qacc0 = list(qacc0) + [0.0] * (NV - 14)
     for d, inv in blk_inv.items():
-        qacc0[d] = (tau[d] - bias[d]) * float(inv)
+        qacc0[d] = cmul(csub(tau[d], bias[d]), float(inv))
     for bl, L6, _ in ball_blocks:
-        r6 = [tau[bl.vadr + k] - bias[bl.vadr + k] for k in range(6)]
+        r6 = [csub(tau[bl.vadr + k], bias[bl.vadr + k]) for k in range(6)]
         sol6 = chol_resolve(L6, r6)
         for k in range(6):
             qacc0[bl.vadr + k] = sol6[k]
@@ -1151,7 +1171,7 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
             return cols6[d - bl.vadr][d - bl.vadr]
         return blk_inv[d]
 
-    f_con = [jnp.zeros_like(like) for _ in range(NV)]
+    f_con = [0.0] * NV
 
     # joint limits (engine.limit_force parity) — ant hips/ankles + block
     # slide travel limits (the block-vs-wall collision analog)
@@ -1182,9 +1202,10 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
             dimp = d0l + (dmaxl - d0l) * jnp.clip(viol / widthl, 0.0, 1.0)
             k_imp = dimp / (dmaxl * dmaxl * tc * tc)
             aref = -b_imp_l * (sign * vd) - k_imp * viol
-            f_out = m_eff * dimp * (aref - sign * a0)
+            f_out = m_eff * dimp * (aref - cmul(sign, a0))
             f_out = jnp.minimum(f_out, 0.0)
-            f_con[dof] = f_con[dof] + jnp.where(active, sign * f_out, 0.0)
+            f_con[dof] = cadd(f_con[dof],
+                              jnp.where(active, sign * f_out, 0.0))
 
     # floor-support impedance for falling blocks (envs/env.py support_qfrc
     # parity: blocks slide with bottom on the global floor plane, z >= 0)
@@ -1199,9 +1220,9 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
         r_s = jnp.minimum(z, 0.0)
         A_s = blk_inv[d] + 1e-9
         aref = -b_imp_s * v[d] - k_imp_s * r_s
-        f_s = d_imp * (aref - qacc0[d]) / A_s
+        f_s = cdiv(cmul(d_imp, csub(aref, qacc0[d])), A_s)
         f_s = jnp.maximum(f_s, 0.0)
-        f_con[d] = f_con[d] + jnp.where(z < 0.01, f_s, 0.0)
+        f_con[d] = cadd(f_con[d], jnp.where(z < 0.01, f_s, 0.0))
 
     # contacts
     rows = _contact_rows(ac, aw, fk, q)
@@ -1212,36 +1233,77 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
         ball_kin_cache = {bl.vadr: _ball_kin(bl, q) for bl in aw.balls}
         con = []
         for body, p, nrm, dist, margin, xdofs, balls_sgn, solpar in rows:
-            # tangent frame
-            use_x = jnp.abs(nrm.x) < 0.5
-            ref = Vec3(jnp.where(use_x, 1.0, 0.0), jnp.where(use_x, 0.0, 1.0),
-                       jnp.zeros_like(like))
-            t1 = nrm.cross(ref)
-            t1n = jnp.sqrt(t1.dot(t1) + 1e-12)
-            t1 = Vec3(t1.x / t1n, t1.y / t1n, t1.z / t1n)
-            t2 = nrm.cross(t1)
-            if body is not None:
-                jac = body_dof_jacobians(fk, body, p)
-                dofs = _dofs_of_body(body)
+            # tangent frame; a trace-time-constant normal (floor rows:
+            # (0,0,1)) yields a constant frame — J entries, A pairs and
+            # solver terms for those rows then fold
+            if all(is_const(cc) for cc in nrm):
+                import math as _math
+
+                if abs(float(nrm.x)) < 0.5:
+                    ref = _EX
+                else:
+                    ref = _EY
+                t1 = nrm.cross(ref)
+                t1n = _math.sqrt(t1.dot(t1) + 1e-12)
+                t1 = t1.scale(1.0 / t1n)
+                t2 = nrm.cross(t1)
             else:
-                jac, dofs = {}, ()
+                use_x = jnp.abs(nrm.x) < 0.5
+                ref = Vec3(jnp.where(use_x, 1.0, 0.0),
+                           jnp.where(use_x, 0.0, 1.0), 0.0)
+                t1 = nrm.cross(ref)
+                inv_t1 = jax.lax.rsqrt(t1.dot(t1) + 1e-12)
+                t1 = t1.scale(inv_t1)
+                t2 = nrm.cross(t1)
+            if body is not None:
+                dofs = _dofs_of_body(body)
+                rel0 = p - fk.pos[0]
+                # leg-dof Jacobians J = w×(p−anchor): computed ONCE per row
+                # and dotted with each of the 3 directions (the per-
+                # direction triple-product form would redo the cross 3×)
+                leg_J = {}
+                for dd in dofs[6:]:
+                    ll = (dd - 6) // 2
+                    if dd % 2 == 0:   # hip dof 6+2l
+                        w, anch = fk.hip_axis[ll], fk.hip_anchor[ll]
+                    else:             # ankle dof 7+2l
+                        w, anch = fk.ankle_axis[ll], fk.ankle_anchor[ll]
+                    leg_J[dd] = w.cross(p - anch)
+            else:
+                dofs = ()
+                rel0 = None
+                leg_J = {}
 
             def jrow(direction):
                 row = {}
-                for d in dofs:
-                    W, J = jac[d]
-                    row[d] = J.dot(direction)
+                if dofs:
+                    # linear free dofs: J = eₖ → entry is the direction
+                    # component (folds for constant frames)
+                    for dd, comp in ((0, direction.x), (1, direction.y),
+                                     (2, direction.z)):
+                        row[dd] = comp
+                    # torso angular dofs via the triple product
+                    # (w×rel0)·dir = w·(rel0×dir): one shared cross (and a
+                    # free one for trace-time-constant directions)
+                    c0 = rel0.cross(direction)
+                    for j in range(3):
+                        row[3 + j] = fk.R[0].col(j).dot(c0)
+                    for dd, Jl in leg_J.items():
+                        row[dd] = Jl.dot(direction)
                 # block dofs: relative velocity is sphere minus box, and a
                 # slide dof moves the box along its axis → entry -dir[axis]
                 for d, axis in xdofs:
-                    row[d] = -(direction.x, direction.y, direction.z)[axis]
+                    row[d] = cneg(
+                        (direction.x, direction.y, direction.z)[axis])
                 # free-ball dofs: second (or only) body of the contact
                 for bl, sgn in balls_sgn:
                     bpos, bR, _ = ball_kin_cache[bl.vadr]
                     for d, val in _ball_jac_entries(
                             bl, bpos, bR, p, direction, sgn).items():
-                        row[d] = row.get(d, jnp.zeros_like(like)) + val
-                return row
+                        row[d] = cadd(row.get(d, 0.0), val)
+                # prune structural zeros (constant-frame rows)
+                return {d: val for d, val in row.items()
+                        if not (is_const(val) and val == 0.0)}
 
             con.append(dict(
                 dist=dist, margin=margin, solpar=solpar,
@@ -1249,34 +1311,47 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
             ))
 
         def minv_mul(vec):
-            """Minv @ vec over the block-diagonal structure."""
+            """Minv @ vec over the block-diagonal structure (folding:
+            structurally-zero scatter entries cost nothing)."""
             out = []
             for i in range(14):
-                s = jnp.zeros_like(like)
+                s = 0.0
                 for j in range(14):
-                    s = s + eye_cols[j][i] * vec[j]
+                    s = cadd(s, cmul(eye_cols[j][i], vec[j]))
                 out.append(s)
             for d in range(14, NV):
-                out.append(jnp.zeros_like(like))
+                out.append(0.0)
             for d, inv in blk_inv.items():
-                out[d] = vec[d] * float(inv)
+                out[d] = cmul(vec[d], float(inv))
             for bl, _, cols6 in ball_blocks:
                 for i in range(6):
-                    s = jnp.zeros_like(like)
+                    s = 0.0
                     for j in range(6):
-                        s = s + cols6[j][i] * vec[bl.vadr + j]
+                        s = cadd(s, cmul(cols6[j][i], vec[bl.vadr + j]))
                     out[bl.vadr + i] = s
             return out
 
         def sparse_dot(row, vec):
-            s = jnp.zeros_like(like)
+            s = 0.0
             for d, val in row.items():
-                s = s + val * vec[d]
+                s = cadd(s, cmul(val, vec[d]))
             return s
 
         # per-row A = J Minv Jᵀ via the row's sparse dof support
         all_rows = []
         mus = []
+        # 2·Minv[d1,d2] hoisted once per distinct pair (the A loop folds
+        # symmetric off-diagonal pairs with a factor 2; pre-doubling saves
+        # one mul per pair per row-direction ≈ 7K traced ops)
+        mv2_cache: dict = {}
+
+        def minv2_entry(d1, d2):
+            key = (d1, d2)
+            if key not in mv2_cache:
+                mv = minv_entry(d1, d2)
+                mv2_cache[key] = None if mv is None else cmul(2.0, mv)
+            return mv2_cache[key]
+
         for c in con:
             # per-row constants: the world default, or the contact pair's
             # own solimp/solref/friction mix (ball rows — contact.py parity)
@@ -1288,31 +1363,33 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
             b_imp = 2.0 / (dmaxc * tcc)
             mus.append(mu_c)
             active = c["dist"] < c["margin"]
-            r = c["dist"] - c["margin"]
-            imp = d0c + (dmaxc - d0c) * jnp.clip(-r / widthc, 0.0, 1.0)
-            k_imp = imp / (dmaxc * dmaxc * tcc * tcc)
+            r = csub(c["dist"], c["margin"])
+            imp = d0c + (dmaxc - d0c) * jnp.clip(-r * (1.0 / widthc),
+                                                 0.0, 1.0)
+            k_imp = imp * (1.0 / (dmaxc * dmaxc * tcc * tcc))
             for kind, row in (("n", c["Jn"]), ("t1", c["Jt1"]), ("t2", c["Jt2"])):
                 # A = J Minv Jᵀ over the row's sparse support; Minv is
                 # symmetric, so off-diagonal pairs are folded once with a
-                # factor 2 (halves the dominant madd count of this stage)
+                # factor 2 (halves the dominant madd count of this stage);
+                # constant J entries (floor rows) fold their products
                 items = list(row.items())
-                A = jnp.zeros_like(like)
+                A = 0.0
                 for i1, (d1, v1) in enumerate(items):
                     mv = minv_entry(d1, d1)
                     if mv is not None:
-                        A = A + v1 * mv * v1
+                        A = cadd(A, cmul(cmul(v1, mv), v1))
                     for d2, v2 in items[i1 + 1:]:
-                        mv = minv_entry(d1, d2)
-                        if mv is None:
+                        mv2 = minv2_entry(d1, d2)
+                        if mv2 is None:
                             continue
-                        A = A + 2.0 * (v1 * mv * v2)
-                A = A + 1e-9
+                        A = cadd(A, cmul(cmul(v1, mv2), v2))
+                A = cadd(A, 1e-9)
                 v_r = sparse_dot(row, list(v))
                 a0_r = sparse_dot(row, qacc0)
                 if kind == "n":
-                    aref = -b_imp * v_r - k_imp * r
+                    aref = csub(cmul(-b_imp, v_r), cmul(k_imp, r))
                 else:
-                    aref = -b_imp * v_r
+                    aref = cmul(-b_imp, v_r)
                 all_rows.append(dict(
                     row=row, A=A, aref=aref, a0=a0_r, imp=imp,
                     active=active, kind=kind,
@@ -1326,8 +1403,8 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
                 fn = jnp.maximum(fs[3 * i], 0.0)
                 fn = jnp.where(all_rows[3 * i]["active"], fn, 0.0)
                 ft1, ft2 = fs[3 * i + 1], fs[3 * i + 2]
-                ftn = jnp.sqrt(ft1 * ft1 + ft2 * ft2 + 1e-12)
-                scale = jnp.minimum(1.0, mus[i] * fn / ftn)
+                inv_ftn = jax.lax.rsqrt(ft1 * ft1 + ft2 * ft2 + 1e-12)
+                scale = jnp.minimum(1.0, mus[i] * fn * inv_ftn)
                 out[3 * i] = fn
                 out[3 * i + 1] = jnp.where(
                     all_rows[3 * i + 1]["active"], ft1 * scale, 0.0
@@ -1337,52 +1414,60 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
                 )
             return out
 
-        denom = []
+        inv_denom = []
         for rr in all_rows:
             Rreg = (1.0 - rr["imp"]) / jnp.maximum(rr["imp"], 1e-6) * rr["A"]
-            denom.append(rr["A"] + Rreg + 1e-9)
+            # one reciprocal per row reused across init + every iteration
+            # (replaces solver_iters+1 divides per row with multiplies)
+            inv_denom.append(1.0 / (rr["A"] + Rreg + 1e-9))
             rr["Rreg"] = Rreg
         fs = project([
-            (rr["aref"] - rr["a0"]) / dn for rr, dn in zip(all_rows, denom)
+            csub(rr["aref"], rr["a0"]) * inv_dn
+            for rr, inv_dn in zip(all_rows, inv_denom)
         ])
         omega = 0.6
         for _ in range(solver_iters):
             # x = Minv (Jᵀ f) accumulated densely
-            x = [jnp.zeros_like(like) for _ in range(NV)]
+            x = [0.0] * NV
             for rr, f in zip(all_rows, fs):
                 for d, val in rr["row"].items():
-                    x[d] = x[d] + val * f
+                    x[d] = cadd(x[d], cmul(val, f))
             x = minv_mul(x)
             new_fs = []
-            for rr, f, dn in zip(all_rows, fs, denom):
+            for rr, f, inv_dn in zip(all_rows, fs, inv_denom):
                 a_f = sparse_dot(rr["row"], x)
-                resid = rr["aref"] - rr["a0"] - a_f - rr["Rreg"] * f
-                new_fs.append(f + omega * resid / dn)
+                resid = csub(csub(csub(rr["aref"], rr["a0"]), a_f),
+                             rr["Rreg"] * f)
+                new_fs.append(f + omega * resid * inv_dn)
             fs = project(new_fs)
         for rr, f in zip(all_rows, fs):
             for d, val in rr["row"].items():
-                f_con[d] = f_con[d] + val * f
+                f_con[d] = cadd(f_con[d], cmul(val, f))
 
-    rhs = [tau[i] + f_con[i] - bias[i] for i in range(14)]
+    rhs = [csub(cadd(tau[i], f_con[i]), bias[i]) for i in range(14)]
     qacc = chol_resolve(L, rhs)
-    qacc = list(qacc) + [jnp.zeros_like(like) for _ in range(14, NV)]
+    qacc = list(qacc) + [0.0] * (NV - 14)
     for d, inv in blk_inv.items():
-        qacc[d] = (tau[d] + f_con[d] - bias[d]) * float(inv)
+        qacc[d] = cmul(csub(cadd(tau[d], f_con[d]), bias[d]), float(inv))
     for bl, L6, _ in ball_blocks:
-        r6 = [tau[bl.vadr + k] + f_con[bl.vadr + k] - bias[bl.vadr + k]
-              for k in range(6)]
+        r6 = [csub(cadd(tau[bl.vadr + k], f_con[bl.vadr + k]),
+                   bias[bl.vadr + k]) for k in range(6)]
         sol6 = chol_resolve(L6, r6)
         for k in range(6):
             qacc[bl.vadr + k] = sol6[k]
-    return tuple(qacc)
+    # every dof must leave as a lane vector (kernel outputs / integrators)
+    return tuple(x if not is_const(x) else jnp.full_like(like, x)
+                 for x in qacc)
 
 
 def _quat_step(q, v, h, qa, va, out):
     """Free-joint quaternion update q[qa+3:qa+7] ⊞ v[va+3:va+6]·h."""
     wx, wy, wz = v[va + 3], v[va + 4], v[va + 5]
-    angle = jnp.sqrt(wx * wx + wy * wy + wz * wz + 1e-18)
+    s2 = wx * wx + wy * wy + wz * wz + 1e-18
+    inv_a = jax.lax.rsqrt(s2)
+    angle = s2 * inv_a
     half = angle * h * 0.5
-    sh = jnp.sin(half) / angle
+    sh = jnp.sin(half) * inv_a
     dw = jnp.cos(half)
     dx = wx * sh
     dy = wy * sh
@@ -1393,9 +1478,9 @@ def _quat_step(q, v, h, qa, va, out):
     nx = qw * dx + qx * dw + qy * dz - qz * dy
     ny = qw * dy - qx * dz + qy * dw + qz * dx
     nz = qw * dz + qx * dy - qy * dx + qz * dw
-    norm = jnp.sqrt(nw * nw + nx * nx + ny * ny + nz * nz)
+    inv_n = jax.lax.rsqrt(nw * nw + nx * nx + ny * ny + nz * nz)
     out[qa + 3], out[qa + 4], out[qa + 5], out[qa + 6] = (
-        nw / norm, nx / norm, ny / norm, nz / norm)
+        nw * inv_n, nx * inv_n, ny * inv_n, nz * inv_n)
 
 
 def integrate_ant(q, v, h, extra_free=()):
@@ -1408,9 +1493,11 @@ def integrate_ant(q, v, h, extra_free=()):
     for i in range(3):
         out[i] = q[i] + v[i] * h
     wx, wy, wz = v[3], v[4], v[5]
-    angle = jnp.sqrt(wx * wx + wy * wy + wz * wz + 1e-18)
+    s2 = wx * wx + wy * wy + wz * wz + 1e-18
+    inv_a = jax.lax.rsqrt(s2)
+    angle = s2 * inv_a
     half = angle * h * 0.5
-    sh = jnp.sin(half) / angle
+    sh = jnp.sin(half) * inv_a
     dw = jnp.cos(half)
     dx = wx * sh
     dy = wy * sh
@@ -1421,8 +1508,9 @@ def integrate_ant(q, v, h, extra_free=()):
     nx = qw * dx + qx * dw + qy * dz - qz * dy
     ny = qw * dy - qx * dz + qy * dw + qz * dx
     nz = qw * dz + qx * dy - qy * dx + qz * dw
-    norm = jnp.sqrt(nw * nw + nx * nx + ny * ny + nz * nz)
-    out[3], out[4], out[5], out[6] = nw / norm, nx / norm, ny / norm, nz / norm
+    inv_n = jax.lax.rsqrt(nw * nw + nx * nx + ny * ny + nz * nz)
+    out[3], out[4], out[5], out[6] = (nw * inv_n, nx * inv_n, ny * inv_n,
+                                      nz * inv_n)
     free_spans = sorted((qa, va) for qa, va in extra_free)
     covered = set()
     for qa, va in free_spans:

@@ -22,6 +22,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from ._fold import cadd, cdiv, cmul, cneg, csqrt_clamped, csub
+
 
 class SwimmerKernelSpec(NamedTuple):
     mass: float          # per link (identical links)
@@ -65,19 +67,24 @@ def _chol5_solve(A, b):
 
 
 def _chol_factor(A):
-    """Cholesky factor L of a symmetric list-of-lists lane matrix."""
+    """Cholesky factor L of a symmetric list-of-lists lane matrix.
+
+    Entries may be python floats (trace-time constants, ops/_fold.py) —
+    constant sub-blocks (e.g. the ant's linear-linear total-mass block)
+    factor at trace time, and a constant diagonal turns the column's
+    divides into reciprocal multiplies."""
     n = len(A)
     L = [[None] * n for _ in range(n)]
     for j in range(n):
         s = A[j][j]
         for k in range(j):
-            s = s - L[j][k] * L[j][k]
-        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            s = csub(s, cmul(L[j][k], L[j][k]))
+        L[j][j] = csqrt_clamped(s, 1e-12)
         for i in range(j + 1, n):
             s = A[i][j]
             for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            L[i][j] = s / L[j][j]
+                s = csub(s, cmul(L[i][k], L[j][k]))
+            L[i][j] = cdiv(s, L[j][j])
     return L
 
 
@@ -89,14 +96,14 @@ def _chol_resolve(L, b):
     for i in range(n):
         s = b[i]
         for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s / L[i][i]
+            s = csub(s, cmul(L[i][k], y[k]))
+        y[i] = cdiv(s, L[i][i])
     x = [None] * n
     for i in reversed(range(n)):
         s = y[i]
         for k in range(i + 1, n):
-            s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
+            s = csub(s, cmul(L[k][i], x[k]))
+        x[i] = cdiv(s, L[i][i])
     return x
 
 
@@ -110,24 +117,24 @@ def _chol_inv_columns(L):
     cols = []
     for d in range(n):
         y = [None] * n  # None ≡ structurally zero
-        y[d] = 1.0 / L[d][d]
+        y[d] = cdiv(1.0, L[d][d])
         for i in range(d + 1, n):
             s = None
             for k in range(d, i):
                 if y[k] is None:
                     continue
-                t = L[i][k] * y[k]
-                s = t if s is None else s + t
-            y[i] = (-s / L[i][i]) if s is not None else None
+                t = cmul(L[i][k], y[k])
+                s = t if s is None else cadd(s, t)
+            y[i] = cdiv(cneg(s), L[i][i]) if s is not None else None
         x = [None] * n
         for i in reversed(range(n)):
             s = y[i]
             for k in range(i + 1, n):
                 if x[k] is None:
                     continue
-                t = L[k][i] * x[k]
-                s = (-t) if s is None else s - t
-            x[i] = None if s is None else s / L[i][i]
+                t = cmul(L[k][i], x[k])
+                s = cneg(t) if s is None else csub(s, t)
+            x[i] = None if s is None else cdiv(s, L[i][i])
         cols.append(x)
     return cols
 
