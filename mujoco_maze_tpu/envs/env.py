@@ -146,7 +146,9 @@ class MazeEnvSpec:
                 and getattr(robot, "USES_POINT_WORLD", False)):
             self.point_world = (
                 point_world.params_for_world(
-                    any_blocks=bool(ms.movable_blocks), dt=robot.timestep),
+                    any_blocks=bool(ms.movable_blocks), dt=robot.timestep,
+                    torso_z=(0.75 + ms.height_offset) if ms.elevated
+                    else 0.0),
                 point_world.wall_boxes_from_structure(ms, dtype=jnp.float64),
             )
             if ms.object_balls and robot.OBJBALL_TYPE == "hinge":
@@ -169,10 +171,16 @@ class MazeEnvSpec:
             oballs = None
             if ms.object_balls and robot.OBJBALL_TYPE == "hinge":
                 oballs = point_world.ball_world_from_structure(ms, dtype=dtype)
-            oblocks = point_world.block_world_from_structure(ms, dtype=dtype)
+            # allow_z: falling (z-slide) blocks join the reduced solve
+            # (round-5) — gravity + floor support + joint limits; only
+            # spin blocks keep the approximate path
+            oblocks = point_world.block_world_from_structure(
+                ms, dtype=dtype, allow_z=True)
             if oballs is not None or oblocks is not None:
                 owp = point_world.params_for_world(
-                    any_blocks=bool(ms.movable_blocks), dt=robot.timestep)
+                    any_blocks=bool(ms.movable_blocks), dt=robot.timestep,
+                    torso_z=(0.75 + ms.height_offset) if ms.elevated
+                    else 0.0)
                 owb = point_world.wall_boxes_from_structure(ms, dtype=dtype)
                 self.object_world = (owp, owb, oballs, oblocks)
         ball_segs = ms.wall_segments(self.task.OBJECT_BALL_SIZE)
@@ -559,7 +567,7 @@ class MazeEnvSpec:
                 idx.extend(ob.qpos_idx)  # hinge kind: (x, y, rot)
         if self.object_world is not None and self.object_world[3] is not None:
             for b in self.block_runtimes:
-                idx.extend(i for i in b.qpos_idx[:2] if i >= 0)
+                idx.extend(i for i in b.qpos_idx[:3] if i >= 0)
         return tuple(idx)
 
     def _block_center(self, qpos: jnp.ndarray, b: _BlockRuntime) -> jnp.ndarray:

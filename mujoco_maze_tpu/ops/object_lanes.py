@@ -53,6 +53,10 @@ class BlockL(NamedTuple):
     dof_x: int           # ordinal in the object vector, -1 if absent
     dof_y: int
     wall_idx: tuple      # statically reachable wall indices
+    dof_z: int = -1      # falling blocks (round-5): slide-z ordinal
+    # joint-coordinate limit ranges ((xlo,xhi)|None, (ylo,yhi)|None,
+    # (zlo,zhi)|None), or None for unlimited push blocks
+    lim: tuple = None
 
 
 class ObjectLanesSpec(NamedTuple):
@@ -127,15 +131,21 @@ def spec_from_env(spec) -> "ObjectLanesSpec | None":
         # static wall pruning: find the block's reachable AABB from its
         # travel limits (env runtimes carry xy_lo/xy_hi) and keep only the
         # walls whose xy footprint can overlap it
+        has_z = blocks.has_z or (False,) * blocks.nb
+        lims = blocks.lim or (None,) * blocks.nb
         rts = list(spec.block_runtimes)
         for k in range(blocks.nb):
-            dx = dy = -1
+            dx = dy = dz = -1
             if blocks.has_x[k]:
                 dx = dof
                 dof += 1
                 masses.append(float(bmass[k]))
             if blocks.has_y[k]:
                 dy = dof
+                dof += 1
+                masses.append(float(bmass[k]))
+            if has_z[k]:
+                dz = dof
                 dof += 1
                 masses.append(float(bmass[k]))
             rt = rts[k]
@@ -152,8 +162,9 @@ def spec_from_env(spec) -> "ObjectLanesSpec | None":
                 body_pos=tuple(float(x) for x in bpos[k]),
                 half=tuple(float(x) for x in half[k]),
                 mass=float(bmass[k]),
-                dof_x=dx, dof_y=dy,
+                dof_x=dx, dof_y=dy, dof_z=dz,
                 wall_idx=tuple(reach),
+                lim=lims[k],
             ))
     return ObjectLanesSpec(
         wb_c=wb_c.astype(np.float32), wb_h=wb_h.astype(np.float32),
@@ -240,6 +251,23 @@ def _add_contact(ks, rows, jn, jt1, jt2, vb_n, vb_t1, vb_t2,
         J = tuple(jn[i] + s * mu * jt[i] for i in range(ks.nd))
         aref = -b * (vn + s * mu * vt) + kp
         rows.append(_Row(J=J, aref=aref, rinv=rinv))
+
+
+def _add_limit_row(ks, rows, dof, sgn, pen, v, invw):
+    """Single frictionless unilateral row (a joint limit) — lane form of
+    :func:`physics.point_world._rows1`: solimp (0.9, 0.95, 0.001), the
+    world's clamped tc, R = (1−d)/d · invweight of the dof."""
+    dmin, dmax, width = 0.9, 0.95, 0.001
+    d = _imp(pen, dmin, dmax, width)
+    k = d / F(dmax * dmax * ks.tc * ks.tc * ks.zeta * ks.zeta)
+    b = F(2.0 / (dmax * ks.tc))
+    s = F(sgn)
+    J = tuple((s if i == dof else F(0.0)) * jnp.ones_like(pen)
+              for i in range(ks.nd))
+    aref = -b * (s * v[dof]) + k * pen
+    rinv = (d / (1.0 - d)) / F(invw)
+    rinv = jnp.where(pen > 0.0, rinv, jnp.zeros_like(rinv))
+    rows.append(_Row(J=J, aref=aref, rinv=rinv))
 
 
 def _jac3(d3, px, py, ox, oy):
@@ -439,7 +467,7 @@ def _ball_rows(ks: ObjectLanesSpec, rows, bi: BallL, rq, rv, q, v, centers):
                      invw_b + 2.0 / (3.0 * bj.mass))
 
 
-def _block_jac(ks, bk: BlockL, d3x, d3y):
+def _block_jac(ks, bk: BlockL, d3x, d3y, d3z=None):
     j = [jnp.zeros_like(d3x) if hasattr(d3x, "shape") else F(0.0)
          for _ in range(ks.nd)]
     zeros = tuple(j)
@@ -448,6 +476,8 @@ def _block_jac(ks, bk: BlockL, d3x, d3y):
         j[bk.dof_x] = d3x
     if bk.dof_y >= 0:
         j[bk.dof_y] = d3y
+    if bk.dof_z >= 0 and d3z is not None:
+        j[bk.dof_z] = d3z
     return tuple(j)
 
 
@@ -457,15 +487,15 @@ def _block_rows(ks: ObjectLanesSpec, rows, bk: BlockL, rq, rv, q, v, centers):
     one = jnp.ones_like(q[0]) if ks.nd else None
     x, y, th = rq
     vx, vy, vth = rv
-    cx, cy = centers[id(bk)]
-    cz = F(bk.body_pos[2])
+    cx, cy, cz = centers[id(bk)]
     hx, hy, hz = F(bk.half[0]), F(bk.half[1]), F(bk.half[2])
     invw_k = 1.0 / bk.mass
     zero = jnp.zeros_like(q[0])
 
     def bjac(d3):
         return _block_jac(ks, bk, -d3[0] * jnp.ones_like(zero),
-                          -d3[1] * jnp.ones_like(zero))
+                          -d3[1] * jnp.ones_like(zero),
+                          -d3[2] * jnp.ones_like(zero))
 
     # --- robot body sphere vs block (row = robot − block) ------------------
     pen, nx, ny, nz, px, py = _sphere_box_lane(
@@ -495,8 +525,8 @@ def _block_rows(ks: ObjectLanesSpec, rows, bk: BlockL, rq, rv, q, v, centers):
     for bp in ks.blocks:
         if bp is bk:
             break  # only blocks listed before bk
-        c2x, c2y = centers[id(bp)]
-        _aabb_pair_rows(ks, rows, bk, bp, q, v, cx, cy, cz, c2x, c2y)
+        c2x, c2y, c2z = centers[id(bp)]
+        _aabb_pair_rows(ks, rows, bk, bp, q, v, cx, cy, cz, c2x, c2y, c2z)
 
     # --- balls vs block (sphere-box; row = ball − block) -------------------
     for bl in ks.balls:
@@ -520,6 +550,28 @@ def _block_rows(ks: ObjectLanesSpec, rows, bk: BlockL, rq, rv, q, v, centers):
                      v, pen, pen > 0.0, jnp.ones_like(pen),
                      ks.dmin, ks.dmax, ks.width,
                      2.0 / (3.0 * bl.mass) + invw_k)
+
+    # --- falling blocks: global-floor contact + soft joint limits ---------
+    # (point_world.object_forward parity — resolved INSIDE the Newton
+    # solve so the platform-perch force equilibrium matches MuJoCo's)
+    if bk.dof_z >= 0:
+        pen_f = -(cz - hz)  # box bottom vs the z=0 floor plane
+        fn3, ft1, ft2 = _make_frame_lane(zero, zero, one)
+        jfn = _block_jac(ks, bk, fn3[0], fn3[1], fn3[2])
+        jft1 = _block_jac(ks, bk, ft1[0], ft1[1], ft1[2])
+        jft2 = _block_jac(ks, bk, ft2[0], ft2[1], ft2[2])
+        _add_contact(ks, rows, jfn, jft1, jft2, zero, zero, zero,
+                     v, pen_f, pen_f > 0.0, one,
+                     BLW_DMIN, BLW_DMAX, BLW_WIDTH, invw_k)
+    if bk.lim is not None:
+        lim_margin = F(0.01)  # reference slide joints, maze_env.py:615-648
+        for dof, lim_ax in zip((bk.dof_x, bk.dof_y, bk.dof_z), bk.lim):
+            if dof < 0 or lim_ax is None:
+                continue
+            lo, hi = lim_ax
+            for sgn, pen_l in ((1.0, (F(lo) + lim_margin) - q[dof]),
+                               (-1.0, q[dof] - (F(hi) - lim_margin))):
+                _add_limit_row(ks, rows, dof, sgn, pen_l, v, invw_k)
 
 
 def _aabb_face_contacts(cx, cy, cz, hx, hy, hz, wx, wy, wz, whx, why, whz):
@@ -562,35 +614,58 @@ def _aabb_wall_rows(ks, rows, bk: BlockL, q, v, cx, cy, cz,
     active, nx, ny, pen, p1, p2 = _aabb_face_contacts(
         cx, cy, cz * one, F(bk.half[0]), F(bk.half[1]), F(bk.half[2]),
         wx * one, wy * one, wz, whx, why, whz)
-    n3, t1, t2 = _make_frame_lane(nx, ny, jnp.zeros_like(nx))
     zero = jnp.zeros_like(one)
     invw_k = 1.0 / bk.mass
+    if bk.dof_z >= 0:
+        # 3-axis SAT (point_world._aabb_vs_boxes_z3): where the z overlap
+        # is the SAT minimum — a falling block perched on / popping out of
+        # its platform box — the xy rows yield to a ±z parallel-face row
+        # with multiplicity 4 (MuJoCo's face-rectangle corners)
+        hx, hy, hz = F(bk.half[0]), F(bk.half[1]), F(bk.half[2])
+        ox = F(whx) + hx - jnp.abs(cx - wx)
+        oy = F(why) + hy - jnp.abs(cy - wy)
+        dz_ = cz - F(wz)
+        oz = F(whz) + hz - jnp.abs(dz_)
+        overlap = (ox > 0.0) & (oy > 0.0) & (oz > 0.0)
+        z_wins = (oz <= ox) & (oz <= oy)
+        active = active & ~z_wins
+        sz = jnp.where(dz_ == 0.0, F(1.0), jnp.sign(dz_))
+        zn3, zt1, zt2 = _make_frame_lane(zero, zero, sz)
+        zjn = _block_jac(ks, bk, zn3[0], zn3[1], zn3[2])
+        zjt1 = _block_jac(ks, bk, zt1[0], zt1[1], zt1[2])
+        zjt2 = _block_jac(ks, bk, zt2[0], zt2[1], zt2[2])
+        _add_contact(ks, rows, zjn, zjt1, zjt2, zero, zero, zero,
+                     v, oz, overlap & z_wins, 4.0 * one,
+                     BLW_DMIN, BLW_DMAX, BLW_WIDTH, invw_k)
+    n3, t1, t2 = _make_frame_lane(nx, ny, jnp.zeros_like(nx))
     for _p in (p1, p2):
-        jn = _block_jac(ks, bk, n3[0], n3[1])
-        jt1 = _block_jac(ks, bk, t1[0], t1[1])
-        jt2 = _block_jac(ks, bk, t2[0], t2[1])
+        jn = _block_jac(ks, bk, n3[0], n3[1], n3[2])
+        jt1 = _block_jac(ks, bk, t1[0], t1[1], t1[2])
+        jt2 = _block_jac(ks, bk, t2[0], t2[1], t2[2])
         _add_contact(ks, rows, jn, jt1, jt2, zero, zero, zero,
                      v, pen, active, 2.0 * one,
                      BLW_DMIN, BLW_DMAX, BLW_WIDTH, invw_k)
 
 
 def _aabb_pair_rows(ks, rows, bk: BlockL, bp: BlockL, q, v,
-                    cx, cy, cz, c2x, c2y):
+                    cx, cy, cz, c2x, c2y, c2z):
     one = jnp.ones_like(q[0])
     active, nx, ny, pen, p1, p2 = _aabb_face_contacts(
-        cx, cy, F(bk.body_pos[2]) * one,
+        cx, cy, cz * one,
         F(bk.half[0]), F(bk.half[1]), F(bk.half[2]),
-        c2x, c2y, F(bp.body_pos[2]),
+        c2x, c2y, c2z,
         F(bp.half[0]), F(bp.half[1]), F(bp.half[2]))
     n3, t1, t2 = _make_frame_lane(nx, ny, jnp.zeros_like(nx))
     zero = jnp.zeros_like(one)
     for _p in (p1, p2):
         def pj(d3):
-            j = list(_block_jac(ks, bk, d3[0], d3[1]))
+            j = list(_block_jac(ks, bk, d3[0], d3[1], d3[2]))
             if bp.dof_x >= 0:
                 j[bp.dof_x] = j[bp.dof_x] - d3[0]
             if bp.dof_y >= 0:
                 j[bp.dof_y] = j[bp.dof_y] - d3[1]
+            if bp.dof_z >= 0:
+                j[bp.dof_z] = j[bp.dof_z] - d3[2]
             return tuple(j)
 
         _add_contact(ks, rows, pj(n3), pj(t1), pj(t2), zero, zero, zero,
@@ -618,7 +693,8 @@ def _arrow_block_rows(ks, rows, bk: BlockL, rq, rv, q, v, cx, cy, cz):
     az_c = 0.5 * (ks.arrow_z_lo + ks.arrow_z_hi)
     az_h = 0.5 * (ks.arrow_z_hi - ks.arrow_z_lo)
     bhx, bhy, bhz = F(bk.half[0]), F(bk.half[1]), F(bk.half[2])
-    ov_z_static = bk.half[2] + az_h - abs(az_c - bk.body_pos[2])
+    # z overlap: dynamic for falling blocks (cz is a lane), constant else
+    ov_z = F(bk.half[2] + az_h) - jnp.abs(F(az_c) - cz)
     dx_ = acx - cx
     dy_ = acy - cy
     ov_wx = bhx + hl * jnp.abs(ux) + hw * jnp.abs(wxv) - jnp.abs(dx_)
@@ -628,14 +704,14 @@ def _arrow_block_rows(ks, rows, bk: BlockL, rq, rv, q, v, cx, cy, cz):
     ov_u = hl + bhx * jnp.abs(ux) + bhy * jnp.abs(uy) - jnp.abs(du)
     ov_v = hw + bhx * jnp.abs(wxv) + bhy * jnp.abs(wyv) - jnp.abs(dv)
     overlap = ((ov_wx > 0.0) & (ov_wy > 0.0) & (ov_u > 0.0) & (ov_v > 0.0)
-               & (F(ov_z_static) > 0.0))
+               & (ov_z > 0.0))
     # argmin over the 4 xy axes; z wins when every xy overlap exceeds it
     m_wx = ov_wx
     m_wy = ov_wy
     m_u = ov_u
     m_v = ov_v
     min_all = jnp.minimum(jnp.minimum(m_wx, m_wy), jnp.minimum(m_u, m_v))
-    z_wins = F(ov_z_static) < min_all
+    z_wins = ov_z < min_all
     is_wx = m_wx == min_all
     is_wy = (~is_wx) & (m_wy == min_all)
     is_u = (~is_wx) & (~is_wy) & (m_u == min_all)
@@ -765,25 +841,26 @@ def _arrow_block_rows(ks, rows, bk: BlockL, rq, rv, q, v, cx, cy, cz):
             return jx * vx + jy * vy + jr * vth
 
         # row = robot − block
-        jn = _block_jac(ks, bk, -n3[0] * one, -n3[1] * one)
-        jt1 = _block_jac(ks, bk, -t1[0], -t1[1])
-        jt2 = _block_jac(ks, bk, -t2[0], -t2[1])
+        jn = _block_jac(ks, bk, -n3[0] * one, -n3[1] * one, -n3[2] * one)
+        jt1 = _block_jac(ks, bk, -t1[0], -t1[1], -t1[2])
+        jt2 = _block_jac(ks, bk, -t2[0], -t2[1], -t2[2])
         _add_contact(ks, rows, jn, jt1, jt2,
                      rob_dot(n3), rob_dot(t1), rob_dot(t2),
                      v, pen_c, overlap & keep & (~z_wins), 2.0 * one,
                      ks.dmin, ks.dmax, ks.width, ks.invw_r + invw_k)
 
-    # z-winner: pure-friction rows at the arrow footprint corners inside
-    # the block footprint (the block has no z dof, so J_n = 0 and the
-    # pyramid's ±mu*t edges carry the whole interaction)
-    nz_sgn = F(-1.0 if az_c <= bk.body_pos[2] else 1.0)
-    zn3 = (jnp.zeros_like(one), jnp.zeros_like(one), nz_sgn * one)
+    # z-winner rows at the arrow footprint corners inside the block
+    # footprint.  For xy-only blocks J_n = 0 (no z dof) and the pyramid's
+    # ±mu*t edges carry the whole interaction; a falling block's z dof
+    # picks up the normal row too (the arrow can press it down/up).
+    nz_sgn = jnp.where(F(az_c) <= cz, F(-1.0), F(1.0)) * one
+    zn3 = (jnp.zeros_like(one), jnp.zeros_like(one), nz_sgn)
     zt1 = (jnp.zeros_like(one), one, jnp.zeros_like(one))
-    zt2 = (-nz_sgn * one, jnp.zeros_like(one), jnp.zeros_like(one))
-    zjn = _block_jac(ks, bk, -zn3[0], -zn3[1])
-    zjt1 = _block_jac(ks, bk, -zt1[0], -zt1[1])
-    zjt2 = _block_jac(ks, bk, -zt2[0], -zt2[1])
-    zpen = F(ov_z_static) * one
+    zt2 = (-nz_sgn, jnp.zeros_like(one), jnp.zeros_like(one))
+    zjn = _block_jac(ks, bk, -zn3[0], -zn3[1], -zn3[2])
+    zjt1 = _block_jac(ks, bk, -zt1[0], -zt1[1], -zt1[2])
+    zjt2 = _block_jac(ks, bk, -zt2[0], -zt2[1], -zt2[2])
+    zpen = ov_z * one
     for ci in range(4):
         in_foot = ((jnp.abs(cxs[ci] - cx) <= bhx)
                    & (jnp.abs(cys[ci] - cy) <= bhy))
@@ -833,14 +910,19 @@ def _chol_solve(H, g, nd):
     return tuple(x)
 
 
-def _solve_newton_lanes(ks: ObjectLanesSpec, rows, v0):
+def _solve_newton_lanes(ks: ObjectLanesSpec, rows, v0, a0=None):
     """Primal Newton over STACKED rows: the R pyramid rows live as
     ``(R,)`` (scalar/XLA path) or ``(R, TB)`` (lane/Pallas path) arrays so
     each Newton/line-search step is a handful of traced ops regardless of
     the world's row count — the per-row unrolled form traced ~400K ops
-    for a Billiard world and took minutes to compile."""
+    for a Billiard world and took minutes to compile.
+
+    ``a0``: unconstrained acceleration (gravity on falling-block z dofs);
+    the smooth cost term becomes (x−a0)ᵀM(x−a0)/2."""
     nd = ks.nd
     M = ks.masses
+    if a0 is None:
+        a0 = (0.0,) * nd
     x = tuple(jnp.zeros_like(v0[0]) for _ in range(nd))
     # stack: (R, ...) leading row axis over the lane shape
     Jm = [jnp.stack([r.J[i] for r in rows]) for i in range(nd)]
@@ -858,7 +940,7 @@ def _solve_newton_lanes(ks: ObjectLanesSpec, rows, v0):
         jar0 = jdot(x) - aref
         w = jnp.where(jar0 < 0.0, rinv, zero_r)
         wj = w * jar0
-        grad = [F(M[i]) * x[i] + jnp.sum(Jm[i] * wj, axis=0)
+        grad = [F(M[i]) * (x[i] - F(a0[i])) + jnp.sum(Jm[i] * wj, axis=0)
                 for i in range(nd)]
         H = [[None] * nd for _ in range(nd)]
         for i in range(nd):
@@ -877,7 +959,7 @@ def _solve_newton_lanes(ks: ObjectLanesSpec, rows, v0):
         pMx = jnp.zeros_like(x[0])
         pMp = jnp.zeros_like(x[0])
         for i in range(nd):
-            pMx = pMx + p[i] * F(M[i]) * x[i]
+            pMx = pMx + p[i] * F(M[i]) * (x[i] - F(a0[i]))
             pMp = pMp + p[i] * F(M[i]) * p[i]
 
         def phi_prime(t):
@@ -908,14 +990,20 @@ def object_forward_lanes(ks: ObjectLanesSpec, rq, rv, q, v):
     for bk in ks.blocks:
         cxs = F(bk.body_pos[0])
         cys = F(bk.body_pos[1])
+        czs = F(bk.body_pos[2])
         cx = cxs + (q[bk.dof_x] if bk.dof_x >= 0 else jnp.zeros_like(q[0]))
         cy = cys + (q[bk.dof_y] if bk.dof_y >= 0 else jnp.zeros_like(q[0]))
-        centers[id(bk)] = (cx, cy)
+        cz = czs + (q[bk.dof_z] if bk.dof_z >= 0 else jnp.zeros_like(q[0]))
+        centers[id(bk)] = (cx, cy, cz)
     for bl in ks.balls:
         _ball_rows(ks, rows, bl, rq, rv, q, v, centers)
     for bk in ks.blocks:
         _block_rows(ks, rows, bk, rq, rv, q, v, centers)
-    return _solve_newton_lanes(ks, rows, v)
+    a0 = [0.0] * ks.nd
+    for bk in ks.blocks:
+        if bk.dof_z >= 0:
+            a0[bk.dof_z] = -9.81  # gravity projects only onto z slides
+    return _solve_newton_lanes(ks, rows, v, a0=tuple(a0))
 
 
 def object_step_lanes(ks: ObjectLanesSpec, rq, rv, q, v):

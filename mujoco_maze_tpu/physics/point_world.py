@@ -154,17 +154,25 @@ class PointWorldParams:
         return 2.0 * (1.0 + self.mu * self.mu) * self.invw_t
 
 
-def params_for_world(any_blocks: bool, dt: float = 0.02) -> PointWorldParams:
-    """Contact constants for a Point world (maze_env.py:108-112 hardening)."""
+def params_for_world(any_blocks: bool, dt: float = 0.02,
+                     torso_z: float = 0.0) -> PointWorldParams:
+    """Contact constants for a Point world (maze_env.py:108-112 hardening).
+
+    ``torso_z``: the torso body's z offset — 0.75 + height_offset in
+    elevated worlds (maze_env.py:105-107), 0 otherwise.  The robot geoms
+    ride the torso, so their contact heights shift with it (a Fall-world
+    point robot passes UNDER the perched falling block)."""
+    kw = dict(dt=dt, sphere_z=0.5 + torso_z, arrow_z_lo=0.4 + torso_z,
+              arrow_z_hi=0.6 + torso_z)
     if not any_blocks:
-        return PointWorldParams(dt=dt)
+        return PointWorldParams(**kw)
     # default class solimp -> (.995, .995, .01); robot geoms keep (.9,.99)
     return PointWorldParams(
-        dt=dt,
         dmin=(0.9 + 0.995) / 2, dmax=(0.99 + 0.995) / 2,
         width=(0.001 + 0.01) / 2,
         f_dmin=(0.9 + 0.995) / 2, f_dmax=(0.99 + 0.995) / 2,
         f_width=(0.001 + 0.01) / 2,
+        **kw,
     )
 
 
@@ -692,6 +700,21 @@ def _pyramid_rows(p, jn, jt1, jt2, pen, vrow_v, active, zmult,
                  rinv=rinv[:, None].repeat(4, 1).reshape(K * 4))
 
 
+def _rows1(p, j, pen, vrow_v, active, dmin, dmax, width, invw):
+    """Single frictionless unilateral rows (joint limits): same impedance/
+    aref/R laws as :func:`_pyramid_rows` without the friction pyramid —
+    MuJoCo's limit constraints (solimp (0.9,0.95,0.001), solref tc clamped
+    to 2·dt, R = (1−d)/d · invweight of the dof)."""
+    d_imp = _impedance(pen, dmin, dmax, width)
+    k = d_imp / (dmax * dmax * p.tc * p.tc * p.zeta * p.zeta)
+    b = 2.0 / (dmax * p.tc)
+    vrow = j @ vrow_v
+    aref = -b * vrow + k * pen
+    rinv = (d_imp / (1.0 - d_imp)) / invw
+    rinv = jnp.where(active, rinv, 0.0)
+    return _Rows(J=j, aref=aref, rinv=rinv)
+
+
 def _body_jac3(d3, pos_xy, origin_xy):
     """(K, 3) jacobian of 3D direction ``d3`` at ``pos_xy`` for one planar
     slide-slide-hinge body whose hinge passes through ``origin_xy``."""
@@ -1029,18 +1052,32 @@ def _aabb_vs_boxes(center3, half3, boxes: WallBoxes):
 
 
 class BlockWorld(NamedTuple):
-    """Static spec of XY movable blocks (maze_env.py:563-633): axis-aligned
-    boxes with unlimited slide-x/slide-y joints, mass 2e-4, no damping and
-    no floor friction (the box-plane contact sits at dist exactly 0 and is
-    excluded, probed: a free block glides at constant velocity).  Falling
-    (z-dof) and spinning blocks are not represented here — worlds with them
-    keep the approximate path."""
+    """Static spec of movable blocks (maze_env.py:563-633): axis-aligned
+    boxes with slide-x/slide-y joints (unlimited for plain push blocks),
+    mass 2e-4, no damping and no floor friction (the box-plane contact sits
+    at dist exactly 0 and is excluded, probed: a free block glides at
+    constant velocity).
+
+    Falling blocks (round-5, maze_env.py:574-586 + 635-648) additionally
+    carry a slide-z joint: mass 0.001, shrink 0.99, LIMITED x/y ranges
+    (±size_scaling) and z range (−height_offset, 0) — joint-coordinate
+    limits in ``lim``.  The z dof sees gravity, the unconditional z ≥ 0
+    floor-support impedance (the reference's global floor plane extends
+    under chasm cells, so blocks slide with bottom on the floor — see
+    envs/env.py engine note), and its joint limits; supports/limits are
+    applied from the unconstrained acceleration, independent of the
+    contact Newton solve (engine extra_qfrc parity).  Spinning blocks stay
+    on the approximate path."""
 
     half: jnp.ndarray      # (Bk, 3) half extents
     mass: jnp.ndarray      # (Bk,)
     body_pos: jnp.ndarray  # (Bk, 3) body origins
     has_x: Tuple[bool, ...]   # static per-block dof flags
     has_y: Tuple[bool, ...]
+    has_z: Tuple[bool, ...] = ()
+    # per block: None, or joint-coordinate limit ranges
+    # ((xlo, xhi) | None, (ylo, yhi) | None, (zlo, zhi) | None)
+    lim: Tuple = ()
 
     @property
     def nb(self) -> int:
@@ -1048,24 +1085,41 @@ class BlockWorld(NamedTuple):
 
     @property
     def ndof(self) -> int:
-        return sum(int(x) + int(y) for x, y in zip(self.has_x, self.has_y))
+        hz = self.has_z or (False,) * self.nb
+        return sum(int(x) + int(y) + int(z)
+                   for x, y, z in zip(self.has_x, self.has_y, hz))
 
 
-def block_world_from_structure(ms, dtype=jnp.float64):
+def block_world_from_structure(ms, dtype=jnp.float64, allow_z: bool = False):
     """BlockWorld from a maze structure; returns None if any movable block
-    needs z/spin dofs (those worlds keep the approximate block path)."""
+    needs spin dofs — or z dofs unless ``allow_z`` (the reduced object
+    solve models those; the coupled f64 replica keeps the approximate
+    path for them)."""
     specs = list(ms.movable_blocks)
     if not specs:
         return None
     for b in specs:
-        if b.move_z or b.spin:
+        if b.spin or (b.move_z and not allow_z):
             return None
+    lims = []
+    for b in specs:
+        if b.falling:
+            lims.append((
+                (-float(b.xy_range), float(b.xy_range)) if b.move_x else None,
+                (-float(b.xy_range), float(b.xy_range)) if b.move_y else None,
+                (float(b.z_range[0]), float(b.z_range[1]))
+                if b.move_z else None,
+            ))
+        else:
+            lims.append(None)
     return BlockWorld(
         half=jnp.asarray(np.asarray([b.size for b in specs]), dtype).reshape(-1, 3),
-        mass=jnp.asarray(np.asarray([2e-4 for _ in specs]), dtype),
+        mass=jnp.asarray(np.asarray([b.mass for b in specs]), dtype),
         body_pos=jnp.asarray(np.asarray([b.pos for b in specs]), dtype).reshape(-1, 3),
         has_x=tuple(bool(b.move_x) for b in specs),
         has_y=tuple(bool(b.move_y) for b in specs),
+        has_z=tuple(bool(b.move_z) for b in specs),
+        lim=tuple(lims),
     )
 
 
@@ -1116,6 +1170,38 @@ def _sphere_vs_boxes_r(boxes: WallBoxes, xy, radius, z_c):
                     active=active, zmult=jnp.ones_like(pen))
 
 
+def _aabb_vs_boxes_z3(center3, half3, boxes: WallBoxes):
+    """3-axis SAT for a moving box with a z dof (falling blocks).
+
+    Extends :func:`_aabb_vs_boxes` (xy-only SAT — correct for same-height
+    push blocks) with the z axis: where the z overlap is the SAT minimum
+    (a falling block perched on / popping out of its platform box,
+    maze_env.py:578-586 — the block is synthesized overlapping the
+    platform and MuJoCo's box-box contact pushes it on top), the xy rows
+    deactivate and a ±z parallel-face row takes over with multiplicity 4
+    (MuJoCo emits the 4 face-rectangle corners at equal penetration).
+    Returns (xy_rows, z_rows) as _BallCon-shaped candidates."""
+    base = _aabb_vs_boxes(center3, half3, boxes)
+    d = center3[None, :2] - boxes.c[:, :2]
+    ox = boxes.h[:, 0] + half3[0] - jnp.abs(d[:, 0])
+    oy = boxes.h[:, 1] + half3[1] - jnp.abs(d[:, 1])
+    dz = center3[2] - boxes.c[:, 2]
+    oz = boxes.h[:, 2] + half3[2] - jnp.abs(dz)
+    overlap = (ox > 0.0) & (oy > 0.0) & (oz > 0.0) & (boxes.mask > 0.0)
+    z_wins = (oz <= ox) & (oz <= oy)
+    xy = base._replace(
+        active=base.active & ~jnp.concatenate([z_wins, z_wins], 0))
+    sz = jnp.sign(jnp.where(dz == 0.0, 1.0, dz))
+    W = boxes.c.shape[0]
+    dtype = center3.dtype
+    zr = _BallCon(
+        pos=jnp.broadcast_to(center3[None, :2], (W, 2)),
+        n=jnp.zeros((W, 2), dtype), nz=sz.astype(dtype),
+        pen=oz, active=overlap & z_wins,
+        zmult=jnp.full((W,), 4.0, dtype))
+    return xy, zr
+
+
 def object_forward(p: PointWorldParams, boxes: WallBoxes, balls, blocks,
                    rq3, rv3, q, v, floor_always: bool = False):
     """qacc of the object dofs with the ROBOT PRESCRIBED (kinematic).
@@ -1135,6 +1221,7 @@ def object_forward(p: PointWorldParams, boxes: WallBoxes, balls, blocks,
     """
     B = balls.nb if balls is not None else 0
     Bk = blocks.nb if blocks is not None else 0
+    blk_has_z = (blocks.has_z or (False,) * Bk) if blocks is not None else ()
     blk_base = 3 + 3 * B
     blk_cols = []
     off = blk_base
@@ -1145,6 +1232,9 @@ def object_forward(p: PointWorldParams, boxes: WallBoxes, balls, blocks,
             off += 1
         if blocks.has_y[k]:
             cols["y"] = off
+            off += 1
+        if blk_has_z[k]:
+            cols["z"] = off
             off += 1
         blk_cols.append(cols)
     nd = off
@@ -1167,6 +1257,10 @@ def object_forward(p: PointWorldParams, boxes: WallBoxes, balls, blocks,
         for c in blk_cols[k].values():
             M = M.at[c - 3, c - 3].set(blocks.mass[k])
     a0 = jnp.zeros((nobj,), dtype)
+    # gravity on falling-block z dofs (the only dofs gravity projects onto)
+    for k in range(Bk):
+        if blk_has_z[k]:
+            a0 = a0.at[blk_cols[k]["z"] - 3].set(jnp.asarray(-9.81, dtype))
 
     invw_r = p.invw_t
     rows = []
@@ -1286,8 +1380,8 @@ def object_forward(p: PointWorldParams, boxes: WallBoxes, balls, blocks,
         cols = blk_cols[k]
         dx = qf[cols["x"]] if "x" in cols else jnp.zeros((), dtype)
         dy = qf[cols["y"]] if "y" in cols else jnp.zeros((), dtype)
-        blk_ctr.append(blocks.body_pos[k] + jnp.stack(
-            [dx, dy, jnp.zeros((), dtype)]))
+        dz = qf[cols["z"]] if "z" in cols else jnp.zeros((), dtype)
+        blk_ctr.append(blocks.body_pos[k] + jnp.stack([dx, dy, dz]))
 
     def blk_jac(k, d3, pos_xy):
         cols = blk_cols[k]
@@ -1296,6 +1390,8 @@ def object_forward(p: PointWorldParams, boxes: WallBoxes, balls, blocks,
             out = out.at[:, cols["x"]].set(d3[:, 0])
         if "y" in cols:
             out = out.at[:, cols["y"]].set(d3[:, 1])
+        if "z" in cols:
+            out = out.at[:, cols["z"]].set(d3[:, 2])
         return out
 
     for k in range(Bk):
@@ -1320,7 +1416,15 @@ def object_forward(p: PointWorldParams, boxes: WallBoxes, balls, blocks,
             p, jfa(an3), jfa(at1), jfa(at2), ab.pen, vf, ab.active, ab.zmult,
             p.dmin, p.dmax, p.width, invw_r + invw_k, p.mu))
 
-        bwc = _aabb_vs_boxes(ctr3, blocks.half[k], boxes)
+        if blk_has_z[k]:
+            bwc, bwz = _aabb_vs_boxes_z3(ctr3, blocks.half[k], boxes)
+            zn3, zt1, zt2 = _make_frame(bwz.n, bwz.nz)
+            jfz = lambda d, con=bwz, kk=k: blk_jac(kk, d, con.pos)
+            rows.append(_pyramid_rows(
+                p, jfz(zn3), jfz(zt1), jfz(zt2), bwz.pen, vf, bwz.active,
+                bwz.zmult, blw_dmin, blw_dmax, blw_width, invw_k, p.mu))
+        else:
+            bwc = _aabb_vs_boxes(ctr3, blocks.half[k], boxes)
         bn3, bt1, bt2 = _make_frame(bwc.n, bwc.nz)
         jfw = lambda d, con=bwc, kk=k: blk_jac(kk, d, con.pos)
         rows.append(_pyramid_rows(
@@ -1354,6 +1458,40 @@ def object_forward(p: PointWorldParams, boxes: WallBoxes, balls, blocks,
                 p, jfl(ln3), jfl(lt1), jfl(lt2), blb.pen, vf, blb.active,
                 blb.zmult, p.dmin, p.dmax, p.width,
                 2.0 / (3.0 * balls.mass[i]) + invw_k, p.mu))
+
+        # falling blocks (round-5): box-bottom-vs-global-floor contact
+        # (the plane extends under chasm cells) + soft joint limits —
+        # resolved INSIDE the Newton solve, like MuJoCo, so the deep
+        # platform-overlap perch (the reference block rides on top of its
+        # own platform with the z limit softly violated) balances at the
+        # same force equilibrium.
+        if blk_has_z[k]:
+            bottom = ctr3[2] - blocks.half[k][2]
+            pen_f = -bottom
+            one = jnp.ones((1,), dtype)
+            fn3 = jnp.asarray([[0.0, 0.0, 1.0]], dtype)
+            ft1 = jnp.asarray([[0.0, 1.0, 0.0]], dtype)
+            ft2 = jnp.asarray([[-1.0, 0.0, 0.0]], dtype)
+            jff = lambda d, kk=k: blk_jac(kk, d, None)
+            rows.append(_pyramid_rows(
+                p, jff(fn3), jff(ft1), jff(ft2), pen_f[None], vf,
+                (pen_f > 0.0)[None], one,
+                blw_dmin, blw_dmax, blw_width, invw_k, p.mu))
+        if blocks.lim and blocks.lim[k] is not None:
+            lim_margin = 0.01  # reference slide joints, maze_env.py:615-648
+            for key, lim_ax in zip("xyz", blocks.lim[k]):
+                if key not in blk_cols[k] or lim_ax is None:
+                    continue
+                c = blk_cols[k][key]
+                qd = qf[c]
+                lo, hi = lim_ax
+                for sgn, pen_l in ((1.0, (lo + lim_margin) - qd),
+                                   (-1.0, qd - (hi - lim_margin))):
+                    jrow = jnp.zeros((1, nd), dtype).at[0, c].set(
+                        jnp.asarray(sgn, dtype))
+                    rows.append(_rows1(
+                        p, jrow, pen_l[None], vf, (pen_l > 0.0)[None],
+                        0.9, 0.95, 0.001, invw_k))
 
     J = jnp.concatenate([r.J for r in rows], 0)[:, 3:]  # drop robot cols
     aref = jnp.concatenate([r.aref for r in rows], 0)

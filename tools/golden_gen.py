@@ -326,6 +326,7 @@ def main() -> None:
         ("Point4Rooms-v1", 3, 200),
         ("PointCorridor-v0", 5, 200),
         ("PointBilliard-v0", 11, 200),
+        ("PointFall-v0", 4, 200),
     ]
     for env_id, seed, n in cases:
         out = rollout_point(env_id, seed, n)
@@ -346,6 +347,23 @@ def main() -> None:
     path = os.path.join(GOLDEN_DIR, "PointBilliard-v0_strike.npz")
     np.savez_compressed(path, **out)
     print("wrote", path, out["ball_xy"][-1])
+
+    # directed scenario: drive east, turn north, push the Fall block
+    # (y+z slides, mass 0.001) into the chasm until its +y joint limit —
+    # exercises robot-block contact on a falling block, the z-dof floor
+    # support and the ±size_scaling travel limits (round-5: falling blocks
+    # joined the reduced impedance solve)
+    def push_fall(t, rng):
+        if t < 8:
+            return (0.55, 0.0)
+        if t < 11:
+            return (0.0, np.pi / 6)  # turn to +y
+        return (0.7, 0.0)
+
+    out = rollout_point("PointFall-v0", 0, 90, action_fn=push_fall)
+    path = os.path.join(GOLDEN_DIR, "PointFall-v0_push.npz")
+    np.savez_compressed(path, **out)
+    print("wrote", path, out["qpos"][-1][3:])
 
 
 if __name__ == "__main__":
