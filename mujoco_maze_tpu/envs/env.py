@@ -337,10 +337,17 @@ class MazeEnvSpec:
                     )
                 )
             if b.move_z:
+                # limited=False: the z limit is resolved COUPLED with the
+                # platform-support contact (support_qfrc below) — the
+                # reference block is synthesized overlapping its platform
+                # and perches ON TOP of it with the (−h, 0) limit softly
+                # violated by ~h (probed MuJoCo 3: AntFall z settles at
+                # +3.92 of limit hi=0); the decoupled engine limit clamp
+                # would slam it back down
                 joints.append(
                     Joint(
                         J_SLIDE, axis=(0, 0, 1), name=f"{b.name}_z",
-                        limited=True, range=b.z_range,
+                        limited=False, range=b.z_range,
                     )
                 )
             if b.spin:
@@ -418,14 +425,18 @@ class MazeEnvSpec:
         self.nv = model.nv
         self.grid_arr = jnp.asarray(ms.grid)
 
-        # Floor-support impedance for z-slide ("falling") blocks.  Reference
-        # geometry note: movable blocks sit at z = h with their bottom ON the
-        # global floor plane, which extends under chasm cells too
-        # (maze_env.py:563-599 + the robot XML floor geoms) — so reference
-        # blocks never free-fall; they slide with bottom on the floor.  The
-        # z dof therefore gets an unconditional z >= 0 impedance (the engine
-        # replacement for box-vs-floor contact; moving-box static contacts
-        # are excluded by design — physics/contact.py).
+        # Support + z-limit for z-slide ("falling") blocks, resolved as a
+        # COUPLED 2-row impedance solve (round-5).  Reference geometry
+        # (probed on MuJoCo 3): the fall block is synthesized overlapping
+        # its own elevated platform box (maze_env.py:578-586); box-box
+        # contact pops it out ON TOP, where it perches with the (−h, 0)
+        # z limit softly violated by ~h — an equilibrium between the
+        # saturated platform contact (solimp .995/.995/.01, 4 face
+        # corners) and the saturated soft limit (solimp .9/.95/.001).
+        # AntFall settle probe: MuJoCo z = +3.9217; this solve matches.
+        # Pushed past the platform edge (over the chasm), the support
+        # target drops to the global floor plane (which extends under
+        # chasm cells) and the block falls flush — the Fall bridge.
         falling = []
         k = 0
         jadr_by_name = {}
@@ -436,27 +447,47 @@ class MazeEnvSpec:
         for name, b in block_joint_names:
             if b.falling:
                 zdof, bodyidx = jadr_by_name[f"{name}_z"]
-                falling.append((bodyidx, zdof))
-        self._falling_blocks = tuple(falling)
+                half_z = float(b.size[2])
+                # platforms reachable within the block's xy travel
+                plats = []
+                for ppos, psize in zip(ms.platform_pos, ms.platform_size):
+                    if (abs(ppos[0] - b.pos[0])
+                            < b.xy_range + b.size[0] + psize[0] + 1e-9
+                            and abs(ppos[1] - b.pos[1])
+                            < b.xy_range + b.size[1] + psize[1] + 1e-9):
+                        plats.append((
+                            float(ppos[0]), float(ppos[1]),
+                            float(psize[0] + b.size[0]),
+                            float(psize[1] + b.size[1]),
+                            float(ppos[2] + psize[2]),
+                        ))
+                falling.append((bodyidx, zdof, half_z, tuple(plats)))
+        self._falling_blocks = tuple(
+            (bodyidx, zdof) for bodyidx, zdof, _, _ in falling)
+        self._falling_support = tuple(falling)
         tc = max(0.02, 2.0 * robot.timestep)
         self._support_params = (tc, 0.95, 2.0 / (0.95 * tc), 0.95 / (0.95**2 * tc**2))
 
         def support_qfrc(kd, qacc0, Minv, qvel_now):
+            from ..physics.contact import falling_support_force
+
             qfrc = jnp.zeros(self.nv, qvel_now.dtype)
-            _, d_imp, b_imp, k_imp = self._support_params
-            for bodyidx, zdof in self._falling_blocks:
+            tc_ = max(0.02, 2.0 * float(robot.timestep))
+            for bodyidx, zdof, half_z, plats in self._falling_support:
                 center = kd.fkr.body_pos[bodyidx]
-                z = center[2] - jnp.asarray(
-                    self.dynamic_model.body_pos[bodyidx][2], qvel_now.dtype
-                )
-                r = jnp.minimum(z, 0.0)
-                vz = qvel_now[zdof]
-                a0 = qacc0[zdof]
-                A = Minv[zdof, zdof] + 1e-9
-                aref = -b_imp * vz - k_imp * r
-                f = d_imp * (aref - a0) / A
-                f = jnp.maximum(f, 0.0)
-                qfrc = qfrc.at[zdof].add(jnp.where(z < 0.01, f, 0.0))
+                bpz = float(self.dynamic_model.body_pos[bodyidx][2])
+                z = center[2] - jnp.asarray(bpz, qvel_now.dtype)
+                bottom = bpz + z - half_z
+                # platform-aware support target: the highest overlapped top
+                s = jnp.zeros_like(z)
+                for (px, py, ox, oy, top) in plats:
+                    over = ((jnp.abs(center[0] - px) < ox)
+                            & (jnp.abs(center[1] - py) < oy))
+                    s = jnp.maximum(s, jnp.where(over, top, 0.0))
+                f_net = falling_support_force(
+                    z, bottom, s, qvel_now[zdof], qacc0[zdof],
+                    Minv[zdof, zdof] + 1e-12, tc_)
+                qfrc = qfrc.at[zdof].add(f_net)
             return qfrc
 
         self.engine_support_qfrc = support_qfrc

@@ -481,6 +481,9 @@ class AntBlock(NamedTuple):
     ranges: tuple        # ((lo, hi),) per dof, qpos offsets from base
     falling_zdof: int    # vadr of the supported z dof, or -1
     margin: float        # box geom margin
+    # reachable platforms for the coupled z support (px, py, ox, oy, top)
+    # with ox/oy the combined half extents (contact.falling_support_force)
+    plats: tuple = ()
 
 
 class AntBall(NamedTuple):
@@ -589,16 +592,36 @@ def world_from_spec(spec, n_near_boxes: int = 4) -> AntWorld:
             if d in falling:
                 fall_z = d
         k = dbox_by_body[bodyidx]
+        half_k = tuple(float(x) for x in cs.dbox_half[k])
+        base_k = tuple(float(x) for x in model.body_pos[bodyidx])
+        plats = ()
+        if fall_z >= 0:
+            # platforms reachable within the falling block's xy travel
+            # (coupled support, physics/contact.falling_support_force)
+            ms = spec.structure
+            mb = ms.movable_blocks[len(blocks)]
+            pl = []
+            for ppos, psize in zip(ms.platform_pos, ms.platform_size):
+                if (abs(ppos[0] - base_k[0])
+                        < mb.xy_range + half_k[0] + psize[0] + 1e-9
+                        and abs(ppos[1] - base_k[1])
+                        < mb.xy_range + half_k[1] + psize[1] + 1e-9):
+                    pl.append((float(ppos[0]), float(ppos[1]),
+                               float(psize[0] + half_k[0]),
+                               float(psize[1] + half_k[1]),
+                               float(ppos[2] + psize[2])))
+            plats = tuple(pl)
         blocks.append(
             AntBlock(
-                base=tuple(float(x) for x in model.body_pos[bodyidx]),
-                half=tuple(float(x) for x in cs.dbox_half[k]),
+                base=base_k,
+                half=half_k,
                 inv_mass=float(1.0 / model.body_mass[bodyidx]),
                 axes=tuple(axes),
                 vadr=tuple(vadr),
                 ranges=tuple(ranges),
                 falling_zdof=fall_z,
                 margin=float(cs.dbox_margin[k]),
+                plats=plats,
             )
         )
 
@@ -1185,6 +1208,8 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
     ]
     for bl in aw.blocks:
         for d, rng in zip(bl.vadr, bl.ranges):
+            if d == bl.falling_zdof:
+                continue  # coupled with the platform support below
             limited.append((d, rng))
     for dof, (lo, hi) in limited:
         qd = q[dof + 1]  # qpos index of a non-free dof = vdof + 1
@@ -1207,22 +1232,35 @@ def forward_ant(ac: AntConsts, aw: AntWorld, q, v, ctrl,
             f_con[dof] = cadd(f_con[dof],
                               jnp.where(active, sign * f_out, 0.0))
 
-    # floor-support impedance for falling blocks (envs/env.py support_qfrc
-    # parity: blocks slide with bottom on the global floor plane, z >= 0)
+    # falling blocks: coupled platform-support + upper-z-limit solve
+    # (physics/contact.falling_support_force — envs/env.py support_qfrc
+    # parity; the reference block perches ON TOP of its platform)
     for bl in aw.blocks:
         if bl.falling_zdof < 0:
             continue
+        from ..physics.contact import falling_support_force
+
         d = bl.falling_zdof
         tcs = float(max(0.02, 2.0 * ac.timestep))
-        d_imp, b_imp_s = 0.95, 2.0 / (0.95 * tcs)
-        k_imp_s = 0.95 / (0.95**2 * tcs**2)
         z = q[d + 1]
-        r_s = jnp.minimum(z, 0.0)
-        A_s = blk_inv[d] + 1e-9
-        aref = -b_imp_s * v[d] - k_imp_s * r_s
-        f_s = cdiv(cmul(d_imp, csub(aref, qacc0[d])), A_s)
-        f_s = jnp.maximum(f_s, 0.0)
-        f_con[d] = cadd(f_con[d], jnp.where(z < 0.01, f_s, 0.0))
+        bottom = float(bl.base[2]) + z - float(bl.half[2])
+        cxb = jnp.full_like(like, float(bl.base[0]))
+        cyb = jnp.full_like(like, float(bl.base[1]))
+        for axis, dd in zip(bl.axes, bl.vadr):
+            if axis == 0:
+                cxb = cxb + q[dd + 1]
+            elif axis == 1:
+                cyb = cyb + q[dd + 1]
+        s = jnp.zeros_like(like)
+        for (px, py, ox, oy, top) in bl.plats:
+            over = ((jnp.abs(cxb - px) < ox) & (jnp.abs(cyb - py) < oy))
+            s = jnp.maximum(s, jnp.where(over, top, 0.0))
+        a0_d = qacc0[d]
+        if is_const(a0_d):
+            a0_d = jnp.full_like(like, a0_d)
+        f_net = falling_support_force(
+            z, bottom, s, v[d], a0_d, blk_inv[d] + 1e-12, tcs)
+        f_con[d] = cadd(f_con[d], f_net)
 
     # contacts
     rows = _contact_rows(ac, aw, fk, q)

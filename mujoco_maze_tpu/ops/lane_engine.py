@@ -71,7 +71,9 @@ class LaneWorld(NamedTuple):
     dbox_friction: np.ndarray
     qpair_s: np.ndarray
     qpair_b: np.ndarray
-    falling: tuple = ()          # (bodyidx, zdof) floor-supported slides
+    # (bodyidx, zdof, half_z, plats) coupled-support slides (round-5:
+    # physics/contact.falling_support_force — platform-aware perch)
+    falling: tuple = ()
     n_near_boxes: int = 4
 
 
@@ -104,7 +106,7 @@ def world_from_spec(spec, n_near_boxes: int = 4) -> LaneWorld:
         dbox_friction=np.asarray(cs.dbox_friction, np.float64),
         qpair_s=np.asarray(cs.qpair_s, np.int32),
         qpair_b=np.asarray(cs.qpair_b, np.int32),
-        falling=tuple(getattr(spec, "_falling_blocks", ())),
+        falling=tuple(getattr(spec, "_falling_support", ())),
         n_near_boxes=n_near_boxes,
     )
 
@@ -776,17 +778,24 @@ def forward_lane(lw: LaneWorld, q, v, ctrl, solver_iters: int | None = None):
             f_out = jnp.minimum(m_eff * dimp * (aref - sign * a0), 0.0)
             f_con[va] = f_con[va] + jnp.where(active, sign * f_out, 0.0)
 
-    # falling-block floor support (envs/env.py support_qfrc parity)
+    # falling-block coupled platform-support + z-limit (envs/env.py
+    # support_qfrc parity, physics/contact.falling_support_force)
     tcs = max(0.02, 2.0 * float(model.timestep))
-    d_s, b_s = 0.95, 2.0 / (0.95 * tcs)
-    k_s = 0.95 / (0.95**2 * tcs**2)
-    for bodyidx, zdof in lw.falling:
-        zq = fk.pos[bodyidx].z - float(model.body_pos[bodyidx][2])
-        r_s = jnp.minimum(zq, 0.0)
-        A_s = minv[(zdof, zdof)] + 1e-9
-        aref = -b_s * v[zdof] - k_s * r_s
-        f_s = jnp.maximum(d_s * (aref - qacc0[zdof]) / A_s, 0.0)
-        f_con[zdof] = f_con[zdof] + jnp.where(zq < 0.01, f_s, 0.0)
+    for bodyidx, zdof, half_z, plats in lw.falling:
+        from ..physics.contact import falling_support_force
+
+        bpz = float(model.body_pos[bodyidx][2])
+        zq = fk.pos[bodyidx].z - bpz
+        bottom = bpz + zq - half_z
+        cxb, cyb = fk.pos[bodyidx].x, fk.pos[bodyidx].y
+        s = jnp.zeros_like(zq)
+        for (px, py, ox, oy, top) in plats:
+            over = ((jnp.abs(cxb - px) < ox) & (jnp.abs(cyb - py) < oy))
+            s = jnp.maximum(s, jnp.where(over, top, 0.0))
+        f_net = falling_support_force(
+            zq, bottom, s, v[zdof], qacc0[zdof],
+            minv[(zdof, zdof)] + 1e-12, tcs)
+        f_con[zdof] = f_con[zdof] + f_net
 
     # contacts
     rows = _contact_rows_lane(lw, model, fk, chain, like)

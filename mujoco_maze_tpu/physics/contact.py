@@ -622,3 +622,59 @@ def jax_one_hot(idx, depth, dtype):
     return (
         idx[..., None] == jnp.arange(depth)[(None,) * idx.ndim]
     ).astype(dtype)
+
+
+def falling_support_force(z, bottom, s, vz, a0, w, tc, mu=1.0,
+                          lim_margin=0.01):
+    """Coupled platform-support + upper-z-limit impedance force for a
+    falling (z-slide) maze block — round-5.
+
+    Reference geometry (probed on MuJoCo 3, tools/golden_gen worlds): the
+    fall block is synthesized overlapping its own elevated platform box
+    (maze_env.py:578-586); box-box contact pops it on TOP, where it
+    perches with the (−h, 0) z limit softly violated by ~h — an
+    equilibrium between the saturated platform contact (solimp
+    .995/.995/.01; 4 face corners × 4 pyramid facets of normal
+    admittance) and the saturated soft limit (solimp .9/.95/.001).
+    Pushed past the platform edge the support target drops to the global
+    floor plane and the block falls flush (the Fall bridge).  AntFall
+    settle probe: MuJoCo z = +3.9217, this solve 3.902.
+
+    The two rows share one diagonal dof, so the coupled solve is closed
+    form with unilateral case analysis.  ``z``: z-joint value; ``bottom``:
+    box bottom height; ``s``: support target (max overlapped platform top,
+    else 0); ``w``: dof inverse weight (1/mass); ``a0``: unconstrained
+    (smooth) z acceleration.  Returns the net generalized force on the
+    z dof.  All inputs may be scalars, lanes or batch-last arrays.
+    """
+    d_c = 0.995
+    k_c = d_c / (0.995 * 0.995 * tc * tc)
+    b_c = 2.0 / (0.995 * tc)
+    pen_c = s - bottom
+    aref_c = -b_c * vz + k_c * pen_c
+    R_c = ((1.0 - d_c) / d_c) * (2.0 * (1.0 + mu * mu)) * w / 16.0
+    act_c = pen_c > 0.0
+    pen_l = z + lim_margin
+    x = jnp.clip(pen_l / 0.001, 0.0, 1.0)
+    y = jnp.where(x < 0.5, 2.0 * x * x, 1.0 - 2.0 * (1.0 - x) * (1.0 - x))
+    d_l = 0.9 + y * 0.05
+    k_l = d_l / (0.95 * 0.95 * tc * tc)
+    b_l = 2.0 / (0.95 * tc)
+    aref_l = b_l * vz + k_l * pen_l
+    R_l = ((1.0 - d_l) / d_l) * w
+    act_l = pen_l > 0.0
+    qa_both = ((a0 + w * aref_c / R_c - w * aref_l / R_l)
+               / (1.0 + w / R_c + w / R_l))
+    qa_c = (a0 + w * aref_c / R_c) / (1.0 + w / R_c)
+    qa_l = (a0 - w * aref_l / R_l) / (1.0 + w / R_l)
+    fc_both = (aref_c - qa_both) / R_c
+    fl_both = (aref_l + qa_both) / R_l
+    fc_only = (aref_c - qa_c) / R_c
+    fl_only = (aref_l + qa_l) / R_l
+    use_c = act_c & (fc_only > 0.0)
+    use_l = act_l & (fl_only > 0.0)
+    both = use_c & use_l & (fc_both > 0.0) & (fl_both > 0.0)
+    return jnp.where(
+        both, fc_both - fl_both,
+        jnp.where(use_c, jnp.maximum(fc_only, 0.0),
+                  jnp.where(use_l, -jnp.maximum(fl_only, 0.0), 0.0)))

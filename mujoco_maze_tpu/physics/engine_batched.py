@@ -910,25 +910,29 @@ def build_dynamics_step(spec):
     cset = spec.contact_set
     _, chain_mask, _, _ = _eng.get_masks(model)
     robot = spec.robot
-    falling = getattr(spec, "_falling_blocks", ())
-    tc_s, d_imp_s, b_imp_s, k_imp_s = getattr(
-        spec, "_support_params", (0.04, 0.95, 2.0 / (0.95 * 0.04),
-                                  0.95 / (0.95**2 * 0.04**2)))
+    falling_sup = getattr(spec, "_falling_support", ())
+    tc_s = max(0.02, 2.0 * float(model.timestep))
 
     def support_qfrc_b(kd, qacc0, Minv, qvel_now):
-        """envs/env.py support_qfrc (falling-block floor impedance),
-        batch-last."""
+        """envs/env.py support_qfrc (coupled platform-support + z-limit,
+        physics/contact.falling_support_force), batch-last."""
+        from .contact import falling_support_force
+
         qfrc = jnp.zeros_like(qvel_now)
-        for bodyidx, zdof in falling:
-            center_z = kd.fkr.body_pos[bodyidx][2]
-            z = center_z - float(model.body_pos[bodyidx][2])
-            r = jnp.minimum(z, 0.0)
-            vz = qvel_now[zdof]
-            a0 = qacc0[zdof]
-            A = Minv[zdof, zdof] + 1e-9
-            aref = -b_imp_s * vz - k_imp_s * r
-            f = jnp.maximum(d_imp_s * (aref - a0) / A, 0.0)
-            qfrc = qfrc.at[zdof].add(jnp.where(z < 0.01, f, 0.0))
+        for bodyidx, zdof, half_z, plats in falling_sup:
+            center = kd.fkr.body_pos[bodyidx]
+            bpz = float(model.body_pos[bodyidx][2])
+            z = center[2] - bpz
+            bottom = bpz + z - half_z
+            s = jnp.zeros_like(z)
+            for (px, py, ox, oy, top) in plats:
+                over = ((jnp.abs(center[0] - px) < ox)
+                        & (jnp.abs(center[1] - py) < oy))
+                s = jnp.maximum(s, jnp.where(over, top, 0.0))
+            f = falling_support_force(
+                z, bottom, s, qvel_now[zdof], qacc0[zdof],
+                Minv[zdof, zdof] + 1e-12, tc_s)
+            qfrc = qfrc.at[zdof].add(f)
         return qfrc
 
     def extra_cb(kd, qacc0, Minv, qvel_now):

@@ -177,7 +177,12 @@ def test_block_forward_matches_engine(env_id):
         qacc = jnp.stack([a[0] for a in qacc])
         err = float(jnp.abs(qacc - qacc_ref).max())
         rel = err / (1.0 + float(jnp.abs(qacc_ref).max()))
-        assert rel < 5e-5, f"seed {seed}: rel err {rel}"
+        # 1e-4 (vs the 5e-5 smooth-path bound): the round-5 coupled
+        # platform support (contact.falling_support_force) is near-rigid
+        # (k ~ 628/s^2), so the ~1e-7 f32 difference between the engine's
+        # FK-accumulated block height and the kernel's direct q[z] read
+        # amplifies to ~7e-5 in qacc at the deep-overlap reset state
+        assert rel < 1e-4, f"seed {seed}: rel err {rel}"
 
 
 def test_ball_forward_matches_engine():
