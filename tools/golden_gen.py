@@ -229,11 +229,15 @@ def build_point_world(env_id: str):
     return model, ms, det, ball_det, task, blocks, balls
 
 
-def rollout_point(env_id: str, seed: int, n_steps: int, action_fn=None):
+def rollout_point(env_id: str, seed: int, n_steps: int, action_fn=None,
+                  qpos_nudge=None, qpos_nudge_f32=None):
     """Reference-semantics rollout; returns per-step arrays.
 
     ``action_fn(t, rng) -> (2,)`` overrides the random-action policy (used
-    for directed scenarios like striking the billiard ball)."""
+    for directed scenarios like striking the billiard ball).
+    ``qpos_nudge=(index, n_ulps)`` perturbs one reset qpos component by
+    n_ulps float64 ulps (the chaos-envelope ensemble,
+    tools/ball_chaos_envelope.py)."""
     import mujoco
 
     model, ms, det, ball_det, task, blocks, balls = build_point_world(env_id)
@@ -249,6 +253,18 @@ def rollout_point(env_id: str, seed: int, n_steps: int, action_fn=None):
     qvel = init_qvel + rng.random(nv) * 0.1
     qpos[3:] = init_qpos[3:]
     qvel[3:] = 0.0
+    if qpos_nudge is not None:
+        idx, n_ulps = qpos_nudge
+        for _ in range(abs(int(n_ulps))):
+            qpos[idx] = np.nextafter(
+                qpos[idx], np.inf if n_ulps > 0 else -np.inf)
+    if qpos_nudge_f32 is not None:
+        # one FLOAT32 ulp (the production engine's representation scale);
+        # exactly-zero components use the f32 ulp at unit scale
+        idx, sgn = qpos_nudge_f32
+        x32 = np.float32(qpos[idx])
+        scale = max(abs(float(x32)), 1.0)
+        qpos[idx] = float(qpos[idx]) + np.sign(sgn) * scale * 2.0 ** -23
     data.qpos[:] = qpos
     data.qvel[:] = qvel
     mujoco.mj_forward(model, data)
