@@ -64,17 +64,19 @@ def test_point_maze(maze_id):
             assert r < 0.0
 
 
-# Ant env specs are expensive to compile on CPU; contract-test a
-# representative subset covering plain, Push, Fall and object worlds.
-# (Reference runs all mazes — test_envs.py:7-18 — but against the C engine.)
-ANT_SMOKE_MAZES = ["UMaze", "Push", "Fall", "4Rooms", "BlockCarry"]
-
-
-@pytest.mark.parametrize("maze_id", ANT_SMOKE_MAZES)
+@pytest.mark.parametrize("maze_id", TaskRegistry.keys())
 def test_ant_maze(maze_id):
+    """Every registered Ant (maze, reward-variant) combination builds,
+    resets and steps (reference test_envs.py:7-18 smoke parity).
+
+    Round 5: the one-variant-per-maze sampling (`break`) and the 5-family
+    subset are gone — spec building is cached per family and an Ant step
+    compiles in ~5 s on CPU, so the full matrix costs a few minutes; the
+    TPU registry sweep artifact (145/145) remains the device-side
+    compensating control."""
     if "Billiard" in maze_id:  # parity skip (test_envs.py:9-10)
         return
-    for i in range(2):
+    for i in range(3):
         env_id = f"Ant{maze_id}-v{i}"
         if env_id not in mmt.ENV_REGISTRY:
             continue
@@ -84,7 +86,6 @@ def test_ant_maze(maze_id):
         if not env.has_extended_obs:
             assert s0.shape == (30,)
             assert s.shape == (30,)
-        break  # one reward variant per maze keeps CPU compile time sane
 
 
 @pytest.mark.parametrize("maze_id", TaskRegistry.keys())
