@@ -154,8 +154,9 @@ class MazeEnvSpec:
             if ms.object_balls and robot.OBJBALL_TYPE == "hinge":
                 self.point_ball_world = point_world.ball_world_from_structure(
                     ms, dtype=jnp.float64)
-            # XY movable blocks join the coupled solve; z/spin blocks keep
-            # the approximate path (block_world_from_structure -> None)
+            # XY movable blocks join the coupled solve; spin blocks keep
+            # the approximate path (block_world_from_structure -> None);
+            # z (falling) blocks ride the reduced f32 solve only
             self.point_block_world = point_world.block_world_from_structure(
                 ms, dtype=jnp.float64)
         else:
@@ -164,7 +165,8 @@ class MazeEnvSpec:
         # (point_world.object_forward) replaces the round-1 calibrated
         # kick/quasi-static model — same derived impedance rows, objects
         # integrated by RK4 within the step (no single-sample aliasing),
-        # blocks with momentum.  z/spin blocks keep the approximate path.
+        # blocks with momentum.  Falling (z) blocks joined in round 5
+        # (allow_z below); spin blocks keep the approximate path.
         self.object_world = None
         if (robot.MANUAL_COLLISION and self.point_world is None
                 and getattr(robot, "USES_POINT_WORLD", False)):
@@ -1072,7 +1074,7 @@ class MazeEnvSpec:
                 qvel = qvel.at[oidx].set(vo.astype(self.dtype))
             # fast path: closed-form smooth residual + derived impedance maps
             qpos, qvel = robot.residual_step(qpos, qvel)
-            # z/spin blocks (excluded from the reduced solve) keep the
+            # spin blocks (excluded from the reduced solve) keep the
             # quasi-static push at the robot's post-move position
             if self.block_runtimes and (
                     self.object_world is None
