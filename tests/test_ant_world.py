@@ -109,3 +109,45 @@ def test_fall_engine_step_finite():
         assert bool(jnp.isfinite(res.state.qpos).all())
         assert bool(jnp.isfinite(res.state.qvel).all())
         state = res.state
+
+
+def test_fall_block_perch_and_chasm_drop():
+    """Round-5 regression: the falling block PERCHES on its platform and
+    drops flush over the chasm (the Fall bridge mechanic).
+
+    Probed on real MuJoCo 3 (tools/golden_gen world): the reference
+    synthesizes the fall block overlapping its own elevated platform box
+    and the box-box contact pops it out on top — z settles at +3.9217
+    with the (-4, 0) z limit softly violated.  The engine's coupled
+    2-row support (physics/contact.falling_support_force) settles at
+    3.902; pushed past the platform edge the support target drops to the
+    global floor and the block falls flush (z -> 0), creating the bridge
+    the ant crosses.  The old unconditional z >= 0 clamp kept the block
+    at z = 0 from reset — bridge pre-built, perched obstacle missing."""
+    import jax
+    import jax.numpy as jnp
+
+    import mujoco_maze_tpu as mmt
+
+    env = mmt.make_batched("AntFall-v0", num_envs=2, auto_reset=False,
+                           fast_step=False)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    act = jnp.zeros((2, 8), jnp.float32)
+    step = jax.jit(env.step)
+    st = state
+    for _ in range(25):
+        st = step(st, act).state
+    (_, zdof, _, _), = env.spec._falling_support
+    z = float(st.qpos[0, zdof + 1])
+    assert 3.80 < z < 4.0, f"perch z {z} (MuJoCo probe: 3.9217)"
+    # push the block over the chasm row: support target drops to the
+    # global floor and it falls flush
+    q = np.asarray(st.qpos).copy()
+    # qpos index of a non-free dof = vadr + 1; the y slide sits just
+    # before the z slide, so its qpos index equals zdof
+    q[:, zdof] = 8.0  # y slide one cell +y (the chasm row)
+    st2 = st._replace(qpos=jnp.asarray(q))
+    for _ in range(30):
+        st2 = step(st2, act).state
+    z2 = float(st2.qpos[0, zdof + 1])
+    assert z2 < 0.05, f"chasm drop z {z2} (expect flush bridge ~0)"
